@@ -1,0 +1,246 @@
+"""Batch preparation: salted LWW dedup + rename-chain resolution.
+
+Turns one epoch's raw change events into one action row per key
+(``op in {upsert, delete}``) ready for ``LakeTable.merge_batch``.
+
+Semantics source: the in-batch "last occurrence wins, matching ON CONFLICT DO
+UPDATE semantics" dedup of the reference
+(/root/reference/src/io/PostGISDataStore.ts:75-85) generalized to the total
+order ``(commit, event_seq)``, plus connected-segment merging for rename
+chains (reference precedent: endpoint-graph component merge,
+/root/reference/src/transforms/normalization/PointGraph.ts:79-131).
+
+Scale design:
+- The LWW dedup is a two-phase window: phase 1 partitions by
+  ``(repo, path, salt)`` where salt = hash(commit, event_seq) % S, so a hot
+  key's events are reduced S-ways in parallel before the final
+  ``(repo, path)`` window sees at most S rows per key. With Zipf-skewed hot
+  repos this bounds the largest window partition — explicit salting per the
+  north rule, on top of AQE.
+- Rename resolution is sequential only over the *rename-affected* key set
+  (renames are ~5% of events; FIXTURES.md §2). Each ``applyInPandas`` group
+  replays its few events through the same ``oracle.apply_event`` function the
+  golden replayer uses, so the two paths cannot diverge. All heavy per-row
+  work (normalization, sha256) stays in vectorized pandas/Arrow UDFs and JVM
+  expressions; the tiny rename loop is control flow, not row processing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skipmap_processor_spark.functions.udfs import content_sha_via_pandas
+from skipmap_processor_spark.lake import KEY_COLS, LakeTable
+
+_ACTION_SCHEMA = (
+    "repo string, path string, commit string, event_seq bigint, op string, "
+    "lang string, content string, extra_cols map<string,string>"
+)
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int, key: str = "repo", salt: int = 16
+) -> DataFrame:
+    """Repartition by (key, salt) so one hot key spreads over ``salt`` tasks.
+
+    Use ahead of heavy per-partition work when the natural key is skewed
+    (north rule: explicit hot-repo salting, SURVEY.md §4).
+    """
+    return df.repartition(
+        num_partitions, F.col(key), F.pmod(F.xxhash64(F.col("path")), F.lit(salt))
+    )
+
+
+def lww_dedup(events: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Last-writer-wins per (repo, path): keep the max-(commit, event_seq) row.
+
+    Two-phase when ``salt_buckets > 1``: a salted partial window bounds skew
+    (map-side-combine analog for argmax), then a final window over the at
+    most ``salt_buckets`` survivors per key.
+    """
+    order = [F.col("commit").desc(), F.col("event_seq").desc()]
+    df = events
+    if salt_buckets > 1:
+        df = df.withColumn(
+            "_salt", F.pmod(F.xxhash64("commit", "event_seq"), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("repo", "path", "_salt").orderBy(*order)
+        df = (
+            df.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_salt")
+        )
+    w2 = Window.partitionBy("repo", "path").orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _resolve_rename_groups(
+    ev_aff: DataFrame, lake: LakeTable, aff_keys: DataFrame
+) -> DataFrame:
+    """Sequentially replay events on rename-affected keys, seeded with the
+    current table state for those keys (bucket-pruned lookup)."""
+    mani = lake.manifest()
+    name_map = lake.payload_name_map(mani)  # original -> current
+    promoted = [
+        (orig, cur)
+        for orig, cur in name_map.items()
+        if orig not in ("lang", "content", "content_sha")
+    ]
+
+    seeds = lake.lookup(aff_keys, include_deleted=True)
+    extra_entries: list = []
+    for orig, cur in promoted:
+        extra_entries += [F.lit(orig), F.col(cur)]
+    seeds = seeds.select(
+        *KEY_COLS,
+        "commit",
+        F.col("event_seq"),
+        F.lit("__seed__").alias("op"),
+        F.lit(None).cast("string").alias("new_path"),
+        F.col(name_map["lang"]).alias("lang"),
+        F.col(name_map["content"]).alias("content"),
+        (
+            F.map_filter(
+                F.create_map(*extra_entries), lambda _, v: v.isNotNull()
+            )
+            if extra_entries
+            else F.lit(None).cast("map<string,string>")
+        ).alias("extra_cols"),
+        F.col("is_deleted"),
+    )
+    ev = ev_aff.select(
+        *KEY_COLS,
+        "commit",
+        "event_seq",
+        "op",
+        "new_path",
+        "lang",
+        "content",
+        "extra_cols",
+        F.lit(False).alias("is_deleted"),
+    )
+    both = seeds.unionByName(ev)
+
+    def resolve(pdf):
+        import pandas as pd
+
+        from skipmap_processor_spark.oracle import _State, apply_event
+
+        state: dict = {}
+        seeds_pdf = pdf[pdf["op"] == "__seed__"]
+        for r in seeds_pdf.itertuples(index=False):
+            state[(r.repo, r.path)] = _State(
+                commit=r.commit,
+                event_seq=int(r.event_seq),
+                deleted=bool(r.is_deleted),
+                lang=r.lang,
+                content=r.content,
+                extra=dict(r.extra_cols) if r.extra_cols is not None else {},
+            )
+        evs = pdf[pdf["op"] != "__seed__"].sort_values(
+            ["commit", "event_seq"], kind="stable"
+        )
+        touched: set = set()
+        for r in evs.itertuples(index=False):
+            touched.update(
+                apply_event(
+                    state,
+                    op=r.op,
+                    repo=r.repo,
+                    path=r.path,
+                    new_path=r.new_path,
+                    commit=r.commit,
+                    event_seq=int(r.event_seq),
+                    lang=r.lang,
+                    content=r.content,
+                    extra=dict(r.extra_cols) if r.extra_cols is not None else {},
+                )
+            )
+        rows = []
+        for repo, path in sorted(touched):
+            st = state[(repo, path)]
+            rows.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": st.commit,
+                    "event_seq": st.event_seq,
+                    "op": "delete" if st.deleted else "upsert",
+                    "lang": st.lang,
+                    "content": st.content,
+                    "extra_cols": st.extra or None,
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "repo", "path", "commit", "event_seq", "op",
+                "lang", "content", "extra_cols",
+            ],
+        )
+
+    return both.groupBy("repo").applyInPandas(resolve, schema=_ACTION_SCHEMA)
+
+
+def prepare_actions(
+    events: DataFrame, lake: LakeTable, salt_buckets: int = 8
+) -> DataFrame:
+    """Raw epoch events -> one action row per key, in the lake's current
+    column names, with ``content_sha`` computed (Arrow UDF + JVM sha2)."""
+    mani = lake.manifest()
+    name_map = lake.payload_name_map(mani)
+    payload = lake.payload_columns(mani)
+    cur_to_orig = {v: k for k, v in name_map.items()}
+
+    # exact duplicate deliveries inside one batch collapse here; duplicates
+    # across epochs are killed by the ord gate in merge_batch
+    ev = events.dropDuplicates(["commit", "event_seq"])
+
+    renames = ev.filter(F.col("op") == "rename")
+    if renames.limit(1).count() > 0:
+        aff_keys = (
+            renames.select("repo", "path")
+            .union(renames.select("repo", F.col("new_path").alias("path")))
+            .distinct()
+        )
+        ev_aff = ev.join(aff_keys, KEY_COLS, "left_semi")
+        ev_rest = ev.join(aff_keys, KEY_COLS, "left_anti")
+        seq_actions = _resolve_rename_groups(ev_aff, lake, aff_keys)
+    else:
+        ev_rest = ev
+        seq_actions = None
+
+    vec = lww_dedup(ev_rest, salt_buckets=salt_buckets)
+    vec_actions = vec.select(
+        *KEY_COLS,
+        "commit",
+        "event_seq",
+        F.when(F.col("op") == "delete", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "lang",
+        "content",
+        "extra_cols",
+    )
+    actions = (
+        vec_actions.unionByName(seq_actions) if seq_actions is not None else vec_actions
+    )
+
+    # map to current payload column names + digest
+    sels = [F.col(c) for c in KEY_COLS + ["commit", "event_seq", "op"]]
+    for cur in payload:
+        orig = cur_to_orig.get(cur, cur)
+        if orig == "lang":
+            sels.append(F.col("lang").alias(cur))
+        elif orig == "content":
+            sels.append(F.col("content").alias(cur))
+        elif orig == "content_sha":
+            sels.append(content_sha_via_pandas(F.col("content")).alias(cur))
+        else:
+            sels.append(F.element_at(F.col("extra_cols"), F.lit(orig)).alias(cur))
+    return actions.select(*sels)

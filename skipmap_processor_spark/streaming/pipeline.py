@@ -1,0 +1,172 @@
+"""Epoch orchestration: binlog tail -> dedup -> MERGE, batch or streaming.
+
+The unit of work is ``apply_epoch``: one micro-batch of change events is
+DDL-evolved, deduped (salted LWW window + rename resolution), digested
+(Arrow UDF + JVM sha2), and MERGEd into the lake with the epoch HWM gate
+making redelivery a no-op. ``run_stream`` wraps it in Structured Streaming
+``foreachBatch`` with a checkpoint; ``replay_log`` is the batch-mode loop
+(same function, no streaming overhead) used by the bench.
+
+Resume model (mirrors the reference's resumable run modes,
+/root/reference/run.sh:7-80 and docs/control-flow.md:115-126):
+  - streaming checkpoint replays unacknowledged files after a crash;
+  - the lake manifest's ``hwm_epoch`` (committed atomically with data)
+    makes any replayed epoch idempotent;
+  - the per-partition ledger records applied (epoch, bucket, rows) lineage
+    (gap-fill ledger precedent:
+    /root/reference/snow-cover/src/snow_cover_sqlite_archive.py:125-155).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skipmap_processor_spark.lake import LakeTable
+from skipmap_processor_spark.operators.dedup import prepare_actions
+from skipmap_processor_spark.sources.events import event_spark_schema, read_ddl
+
+
+def _apply_ddl(lake: LakeTable, ddl: pd.DataFrame | None, epoch: int) -> list[str]:
+    applied = []
+    if ddl is None or not len(ddl):
+        return applied
+    for row in ddl[ddl["epoch"] == epoch].itertuples(index=False):
+        if row.change == "rename_column":
+            if lake.rename_column(row.col_from, row.col_to):
+                applied.append(f"rename_column {row.col_from}->{row.col_to}")
+        elif row.change == "add_column":
+            if lake.add_column(row.col_to, row.col_type or "string"):
+                applied.append(f"add_column {row.col_to}")
+    return applied
+
+
+def _auto_promote(lake: LakeTable, events: DataFrame) -> list[str]:
+    """Promote unseen ``extra_cols`` keys to typed columns (dynamic-JSON ->
+    typed promotion, /root/reference/src/io/PostGISDataStore.ts:800-827)."""
+    keys = [
+        r["k"]
+        for r in events.select(
+            F.explode(F.map_keys("extra_cols")).alias("k")
+        )
+        .distinct()
+        .collect()
+    ]
+    known_orig = set(lake.payload_name_map())
+    added = []
+    for k in sorted(keys):
+        if k not in known_orig:
+            lake.add_column(k, "string", src_key=k)
+            added.append(k)
+    return added
+
+
+def bootstrap_base(lake: LakeTable, base: DataFrame) -> dict:
+    """Load the initial snapshot (base table) into an empty lake table.
+
+    Runs as an epoch-less merge: the HWM stays -1 so epoch 0 still applies.
+    """
+    from skipmap_processor_spark.functions.udfs import content_sha_via_pandas
+
+    actions = base.select(
+        "repo",
+        "path",
+        "commit",
+        F.lit(0).cast("bigint").alias("event_seq"),
+        F.lit("upsert").alias("op"),
+        "lang",
+        "content",
+        content_sha_via_pandas(F.col("content")).alias("content_sha"),
+    )
+    return lake.merge_batch(actions, epoch=None)
+
+
+def apply_epoch(
+    lake: LakeTable,
+    events: DataFrame,
+    epoch: int,
+    ddl: pd.DataFrame | None = None,
+    salt_buckets: int = 8,
+) -> dict:
+    """Apply one epoch exactly once. Safe to call again for any epoch <= HWM."""
+    t0 = time.monotonic()
+    if epoch <= lake.hwm_epoch:
+        return {"skipped": True, "epoch": epoch, "hwm_epoch": lake.hwm_epoch}
+    ddl_applied = _apply_ddl(lake, ddl, epoch)
+    promoted = _auto_promote(lake, events)
+    actions = prepare_actions(events, lake, salt_buckets=salt_buckets)
+    stats = lake.merge_batch(actions, epoch)
+    stats["ddl_applied"] = ddl_applied
+    stats["auto_promoted"] = promoted
+    stats["wall_sec"] = time.monotonic() - t0
+    return stats
+
+
+def replay_log(
+    spark: SparkSession,
+    lake: LakeTable,
+    events: DataFrame,
+    ddl: pd.DataFrame | None = None,
+    salt_buckets: int = 8,
+) -> list[dict]:
+    """Batch-mode replay: loop epochs in order through apply_epoch."""
+    epochs = sorted(
+        r["epoch"] for r in events.select("epoch").distinct().collect()
+    )
+    out = []
+    for ep in epochs:
+        batch = events.filter(F.col("epoch") == ep).drop("epoch")
+        out.append(apply_epoch(lake, batch, int(ep), ddl, salt_buckets))
+    return out
+
+
+def run_stream(
+    spark: SparkSession,
+    lake: LakeTable,
+    events_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    salt_buckets: int = 8,
+    on_batch=None,
+):
+    """Tail the event directory as a Structured Streaming file source.
+
+    One epoch == one ``epoch=K`` partition dir == (by construction) one file,
+    so ``maxFilesPerTrigger`` bounds epochs per micro-batch; a micro-batch
+    containing several epochs applies them in order inside ``foreachBatch``.
+    """
+    ddl = read_ddl(events_dir)
+
+    sdf = (
+        spark.readStream.schema(event_spark_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        epochs = sorted(
+            r["epoch"] for r in batch_df.select("epoch").distinct().collect()
+        )
+        for ep in epochs:
+            stats = apply_epoch(
+                lake,
+                batch_df.filter(F.col("epoch") == ep).drop("epoch"),
+                int(ep),
+                ddl,
+                salt_buckets,
+            )
+            if on_batch is not None:
+                on_batch(stats)
+
+    writer = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    return q
