@@ -30,7 +30,7 @@ epochs = sorted(ev["epoch"].unique())
 
 # STEP 1: write only the first half of the log, tail it, then "crash"
 write_event_log(events_dir, ev, ddl, epochs=epochs[:3])
-lake = LakeTable.create(spark, lake_dir, num_buckets=8)
+lake = LakeTable.create(spark, lake_dir, num_buckets=8, merge_mode="mor")
 bootstrap_base(lake, spark.createDataFrame(base, schema=base_spark_schema()))
 
 applied = []
@@ -81,6 +81,13 @@ print("PROBE B schema evolution visible at read surface; shas valid")
 # PROBE C: time travel to the pre-stream snapshot still works
 v_rows = lake.read(version=1).count()
 print("PROBE C time-travel read of v1 snapshot rows:", v_rows)
+
+# PROBE D: compaction folds MOR deltas without changing visible state
+lake.compact(target_files_per_bucket=1)
+assert not lake.manifest()["properties"]["has_deltas"]
+engine3 = lake.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+pd.testing.assert_frame_equal(engine[cols], engine3[cols], check_dtype=False)
+print("PROBE D compaction preserved state; deltas folded")
 
 print("VERIFY_DRIVE_OK")
 spark.stop()

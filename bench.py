@@ -1,0 +1,73 @@
+"""Driver bench contract: one JSON line with per-query seconds.
+
+Runs every registered query (SURVEY §2 inventory) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the CDC replay throughput bench
+(binlog -> lake upsert, merge-on-read mode with periodic compaction — the
+10^10-event scale path).
+
+Output: {"metric": "...", "value": N, "unit": "sec",
+         "queries": {...}, "sf": ..., "cdc": {...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately
+by bench/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from bench.cdc_bench import run as cdc_run
+    from skipmap_processor_spark.plans.queries import QUERIES
+    from skipmap_processor_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus, driver_memory="16g",
+        app_name="bench",
+    )
+
+    qsecs: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        # count() forces full execution without driver-side row transfer
+        fn(spark, sf_dir).count()
+        qsecs[name] = round(time.monotonic() - t0, 3)
+
+    # CDC replay headline (reuses the live session's master/cpus)
+    cdc = cdc_run(
+        cpus=cpus, n_keys=300_000, n_events=1_000_000, n_epochs=4,
+        merge_mode="mor", compact_every=4, sha_impl="arrow",
+    )
+    qsecs["cdc_replay_1m_events"] = cdc["wall_sec"]
+
+    total = round(sum(qsecs.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_replay_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qsecs,
+                "sf": sf,
+                "cdc": cdc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

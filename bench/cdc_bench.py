@@ -1,0 +1,124 @@
+"""CDC replay throughput bench: binlog -> lake upsert, events/sec.
+
+Generates (once, cached) a bulk event log at a parameterized size, replays
+it epoch-by-epoch through the full pipeline (dedup window -> Arrow
+normalize+sha -> bucket-pruned MERGE -> ledger), and reports sustained
+events/sec. Run standalone:
+
+    python bench/cdc_bench.py --cpus 32 --events 2000000 --epochs 8
+
+Prints one JSON line. Used by bench.py (single run) and
+bench/scaling.py (local[N] vs local[4N] efficiency protocol,
+BASELINE.md "Sandbox scaling evidence").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, ".data")
+
+
+def ensure_event_log(n_keys: int, n_events: int, n_epochs: int) -> str:
+    from skipmap_processor_spark.sources.events import generate_bulk, write_event_log
+
+    sig = f"bulk_k{n_keys}_e{n_events}_p{n_epochs}"
+    outdir = os.path.join(DATA, "bench_events", sig)
+    marker = os.path.join(outdir, "_COMPLETE")
+    if os.path.exists(marker):
+        return outdir
+    shutil.rmtree(outdir, ignore_errors=True)
+    _, ev, ddl = generate_bulk(n_keys=n_keys, n_events=n_events, n_epochs=n_epochs)
+    write_event_log(outdir, ev, ddl)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return outdir
+
+
+def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
+        num_buckets: int | None = None, salt_buckets: int = 8,
+        sha_impl: str = "arrow", merge_mode: str = "cow",
+        compact_every: int = 4) -> dict:
+    from pyspark.sql import functions as F
+
+    from skipmap_processor_spark.lake import LakeTable
+    from skipmap_processor_spark.session import get_spark
+    from skipmap_processor_spark.streaming.pipeline import apply_epoch
+
+    events_dir = ensure_event_log(n_keys, n_events, n_epochs)
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        driver_memory="16g",
+        app_name=f"cdc-bench-{cpus}",
+    )
+    lake_dir = os.path.join(DATA, f"bench_lake_{cpus}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = LakeTable.create(
+        spark, lake_dir, num_buckets=num_buckets or max(cpus, 8),
+        merge_mode=merge_mode,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    epochs = sorted(r["epoch"] for r in ev.select("epoch").distinct().collect())
+    t0 = time.monotonic()
+    per_epoch = []
+    compact_sec = 0.0
+    for i, ep in enumerate(epochs):
+        te = time.monotonic()
+        stats = apply_epoch(
+            lake, ev.filter(F.col("epoch") == ep).drop("epoch"), int(ep),
+            None, salt_buckets, sha_impl,
+        )
+        per_epoch.append(round(time.monotonic() - te, 3))
+        assert not stats["skipped"]
+        if merge_mode == "mor" and (i + 1) % compact_every == 0:
+            tc = time.monotonic()
+            lake.compact(target_files_per_bucket=1)
+            compact_sec += time.monotonic() - tc
+    wall = time.monotonic() - t0
+    final_rows = lake.read().count()
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_events": n_events,
+        "n_epochs": n_epochs,
+        "merge_mode": merge_mode,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "steady_events_per_sec": round(
+            (n_events - n_events // n_epochs)
+            / max(sum(per_epoch[1:]) + compact_sec, 1e-9),
+            1,
+        ),
+        "per_epoch_sec": per_epoch,
+        "compact_sec": round(compact_sec, 3),
+        "final_rows": final_rows,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--keys", type=int, default=300_000)
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--sha", choices=["arrow", "jvm"], default="arrow")
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--compact-every", type=int, default=4)
+    args = ap.parse_args()
+    res = run(args.cpus, args.keys, args.events, args.epochs, args.buckets,
+              args.salt, args.sha, args.mode, args.compact_every)
+    res["sha_impl"] = args.sha
+    res["salt_buckets"] = args.salt
+    print(json.dumps(res))

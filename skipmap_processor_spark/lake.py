@@ -81,7 +81,19 @@ class LakeTable:
         path: str,
         payload_cols: list[tuple[str, str]] | None = None,
         num_buckets: int = 32,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
+        """``merge_mode``:
+
+        - ``cow`` (copy-on-write): MERGE joins the batch against affected
+          buckets and rewrites them — read-optimal, write cost proportional
+          to touched-bucket size.
+        - ``mor`` (merge-on-read): MERGE appends one delta file per affected
+          bucket (no read, no join — write cost proportional to batch size
+          only); readers apply a LWW window; ``compact()`` folds deltas.
+          This is the high-throughput CDC path at 10^10-event scale, exactly
+          Iceberg's MOR trade.
+        """
         payload_cols = payload_cols or [
             ("lang", "string"),
             ("content", "string"),
@@ -95,6 +107,8 @@ class LakeTable:
             {"id": 100 + j, "name": n, "type": t}
             for j, (n, t) in enumerate(payload_cols)
         ]
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         manifest = {
             "version": 0,
             "num_buckets": num_buckets,
@@ -102,7 +116,12 @@ class LakeTable:
             "schema_version": 1,
             "schemas": {"1": cols},
             "files": [],
-            "properties": {"hwm_epoch": -1, "next_field_id": 100 + len(payload_cols)},
+            "properties": {
+                "hwm_epoch": -1,
+                "next_field_id": 100 + len(payload_cols),
+                "merge_mode": merge_mode,
+                "has_deltas": False,
+            },
         }
         tbl = cls(spark, path)
         tbl._commit_manifest(manifest)
@@ -205,6 +224,23 @@ class LakeTable:
             bset = set(buckets)
             files = [fe for fe in files if int(fe["bucket"]) in bset]
         df = self._read_files(mani, files)
+        if mani["properties"].get("has_deltas"):
+            # MOR read path: LWW window resolves multi-version keys.
+            # _epoch desc tie-break: verbatim duplicate deliveries landed in
+            # two epochs are identical rows — pick is value-irrelevant but
+            # made deterministic for engine-column reads.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*KEY_COLS).orderBy(
+                F.col("commit").desc(),
+                F.col("event_seq").desc(),
+                F.col("_epoch").desc(),
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         if not include_deleted:
             df = df.filter(~F.col("is_deleted"))
         if not with_engine_cols:
@@ -318,7 +354,13 @@ class LakeTable:
             if col not in actions.columns:
                 actions = actions.withColumn(col, F.lit(None).cast(pay_types[col]))
 
-        act = actions.withColumn("_bucket", bucket_expr(nb))
+        if mani["properties"].get("merge_mode") == "mor":
+            return self._merge_mor(actions, epoch, mani, files_per_bucket)
+
+        # cache: the action batch (incl. the Arrow normalize+sha stage) feeds
+        # both the affected-bucket probe and the merge join — computing the
+        # UDF pipeline twice would double the dominant cost
+        act = actions.withColumn("_bucket", bucket_expr(nb)).persist()
         affected = sorted(
             r["_bucket"] for r in act.select("_bucket").distinct().collect()
         )
@@ -377,24 +419,9 @@ class LakeTable:
         rel_dir = f"data/v{new_version}"
         out_dir = os.path.join(self.path, rel_dir)
         result.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        act.unpersist()
 
-        new_files = []
-        for bdir in sorted(os.listdir(out_dir)):
-            if not bdir.startswith("_bucket="):
-                continue
-            b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
-                if fn.endswith(".parquet"):
-                    fp = os.path.join(out_dir, bdir, fn)
-                    new_files.append(
-                        {
-                            "path": os.path.relpath(fp, self.path),
-                            "bucket": b,
-                            "schema_version": mani["schema_version"],
-                            "rows": pq.ParquetFile(fp).metadata.num_rows,
-                        }
-                    )
-
+        new_files = self._scan_written(out_dir, mani["schema_version"])
         affected_set = set(affected)
         carried = [fe for fe in mani["files"] if int(fe["bucket"]) not in affected_set]
         mani["files"] = carried + new_files
@@ -415,6 +442,90 @@ class LakeTable:
         }
         self._append_ledger(stats)
         return stats
+
+    def _merge_mor(self, actions: DataFrame, epoch: int | None, mani: dict,
+                   files_per_bucket: int = 1) -> dict:
+        """Merge-on-read: append the deduped batch as delta rows — no read of
+        existing data, no join. Cost is proportional to the batch, never to
+        the table. Readers resolve versions via the LWW window (read());
+        compact() folds deltas back to one row per key."""
+        nb = int(mani["num_buckets"])
+        payload = self.payload_columns(mani)
+        pay_types = {c["name"]: c["type"] for c in self.current_schema(mani)}
+        is_del = F.col("op") == F.lit("delete")
+        rows = actions.select(
+            *KEY_COLS,
+            F.col("commit"),
+            F.col("event_seq").cast("bigint").alias("event_seq"),
+            is_del.alias("is_deleted"),
+            F.lit(-1 if epoch is None else epoch).cast("bigint").alias("_epoch"),
+            *[
+                F.when(is_del, F.lit(None).cast(pay_types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload
+            ],
+        ).withColumn("_bucket", bucket_expr(nb))
+
+        fpb = max(files_per_bucket, 1)
+        parts = [F.col("_bucket")]
+        if fpb > 1:
+            parts.append(F.pmod(F.xxhash64(F.col("path")), F.lit(fpb)))
+        rows = rows.repartition(nb * fpb, *parts).sortWithinPartitions(*KEY_COLS)
+
+        new_version = mani["version"] + 1
+        out_dir = os.path.join(self.path, f"data/v{new_version}")
+        rows.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+
+        new_files = self._scan_written(out_dir, mani["schema_version"])
+        mani["files"] = mani["files"] + new_files
+        mani["version"] = new_version
+        if epoch is not None:
+            mani["properties"]["hwm_epoch"] = epoch
+        mani["properties"]["has_deltas"] = self._any_multi_file(mani["files"])
+        self._commit_manifest(mani)
+
+        stats = {
+            "skipped": False,
+            "epoch": -1 if epoch is None else epoch,
+            "version": new_version,
+            "mode": "mor",
+            "affected_buckets": sorted({fe["bucket"] for fe in new_files}),
+            "files_written": len(new_files),
+            "rows_written": sum(fe["rows"] for fe in new_files),
+            "per_bucket_rows": {fe["bucket"]: fe["rows"] for fe in new_files},
+        }
+        self._append_ledger(stats)
+        return stats
+
+    @staticmethod
+    def _any_multi_file(files: list[dict]) -> bool:
+        seen: set[int] = set()
+        for fe in files:
+            b = int(fe["bucket"])
+            if b in seen:
+                return True
+            seen.add(b)
+        return False
+
+    def _scan_written(self, out_dir: str, schema_version: int) -> list[dict]:
+        new_files = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(out_dir, bdir, fn)
+                    new_files.append(
+                        {
+                            "path": os.path.relpath(fp, self.path),
+                            "bucket": b,
+                            "schema_version": schema_version,
+                            "rows": pq.ParquetFile(fp).metadata.num_rows,
+                        }
+                    )
+        return new_files
 
     # ------------------------------------------------------------- ledger
 
@@ -458,9 +569,11 @@ class LakeTable:
     # ------------------------------------------------------------- maintenance
 
     def compact(self, target_files_per_bucket: int = 1) -> dict:
-        """Rewrite buckets whose file count exceeds the target (analog of
-        Iceberg rewrite_data_files; reference deferred-index precedent:
-        /root/reference/src/clustering/services/DataLoader.ts:45-48)."""
+        """Rewrite buckets whose file count exceeds the target, folding MOR
+        deltas to one LWW-resolved row per key. Tombstones are RETAINED
+        (they gate stale duplicate deliveries that may still arrive).
+        Analog of Iceberg rewrite_data_files; reference deferred-index
+        precedent: /root/reference/src/clustering/services/DataLoader.ts:45-48."""
         mani = self.manifest()
         by_bucket: dict[int, list[dict]] = {}
         for fe in mani["files"]:
@@ -469,32 +582,20 @@ class LakeTable:
         if not todo:
             return {"compacted_buckets": 0}
         nb = int(mani["num_buckets"])
-        df = self._read_files(mani, [fe for fs in todo.values() for fe in fs])
-        df = df.withColumn("_bucket", bucket_expr(nb))
+        # read() applies the LWW window when deltas exist; keep tombstones
+        df = self.read(
+            buckets=sorted(todo), include_deleted=True, with_engine_cols=True
+        ).withColumn("_bucket", bucket_expr(nb))
         new_version = mani["version"] + 1
         rel_dir = f"data/v{new_version}-compact"
         out_dir = os.path.join(self.path, rel_dir)
         df.repartition(len(todo), "_bucket").sortWithinPartitions(*KEY_COLS).write.partitionBy(
             "_bucket"
         ).mode("overwrite").parquet(out_dir)
-        new_files = []
-        for bdir in sorted(os.listdir(out_dir)):
-            if not bdir.startswith("_bucket="):
-                continue
-            b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
-                if fn.endswith(".parquet"):
-                    fp = os.path.join(out_dir, bdir, fn)
-                    new_files.append(
-                        {
-                            "path": os.path.relpath(fp, self.path),
-                            "bucket": b,
-                            "schema_version": mani["schema_version"],
-                            "rows": pq.ParquetFile(fp).metadata.num_rows,
-                        }
-                    )
+        new_files = self._scan_written(out_dir, mani["schema_version"])
         keep = [fe for fe in mani["files"] if int(fe["bucket"]) not in todo]
         mani["files"] = keep + new_files
         mani["version"] = new_version
+        mani["properties"]["has_deltas"] = self._any_multi_file(mani["files"])
         self._commit_manifest(mani)
         return {"compacted_buckets": len(todo), "version": new_version}

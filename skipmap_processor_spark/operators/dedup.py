@@ -188,21 +188,33 @@ def _resolve_rename_groups(
 
 
 def prepare_actions(
-    events: DataFrame, lake: LakeTable, salt_buckets: int = 8
+    events: DataFrame, lake: LakeTable, salt_buckets: int = 8,
+    sha_impl: str = "arrow"
 ) -> DataFrame:
     """Raw epoch events -> one action row per key, in the lake's current
-    column names, with ``content_sha`` computed (Arrow UDF + JVM sha2)."""
+    column names, with ``content_sha`` computed.
+
+    ``sha_impl``: 'arrow' = Arrow-vectorized pandas_udf normalization + JVM
+    sha2 (the BASELINE.json contract path); 'jvm' = pure built-in
+    expressions (whole-stage codegen, no Python workers). Both are proven
+    byte-identical in tests/test_udfs.py.
+    """
     mani = lake.manifest()
     name_map = lake.payload_name_map(mani)
     payload = lake.payload_columns(mani)
     cur_to_orig = {v: k for k, v in name_map.items()}
 
-    # exact duplicate deliveries inside one batch collapse here; duplicates
-    # across epochs are killed by the ord gate in merge_batch
-    ev = events.dropDuplicates(["commit", "event_seq"])
+    # NOTE on exact duplicate deliveries inside one batch: no dropDuplicates
+    # pass is needed. Verbatim duplicates tie in the LWW window; row_number
+    # keeps exactly one and the tied rows are identical in every column, so
+    # the outcome is deterministic. The rename resolver's ord gate
+    # (oracle.apply_event: ord <= cur.ord -> skip) handles its slice the same
+    # way. Duplicates ACROSS epochs die at the merge ord gate. This saves a
+    # full shuffle per epoch.
+    ev = events
 
     renames = ev.filter(F.col("op") == "rename")
-    if renames.limit(1).count() > 0:
+    if len(renames.take(1)) > 0:
         aff_keys = (
             renames.select("repo", "path")
             .union(renames.select("repo", F.col("new_path").alias("path")))
@@ -240,7 +252,12 @@ def prepare_actions(
         elif orig == "content":
             sels.append(F.col("content").alias(cur))
         elif orig == "content_sha":
-            sels.append(content_sha_via_pandas(F.col("content")).alias(cur))
+            if sha_impl == "jvm":
+                from skipmap_processor_spark.functions.udfs import content_sha_expr
+
+                sels.append(content_sha_expr(F.col("content")).alias(cur))
+            else:
+                sels.append(content_sha_via_pandas(F.col("content")).alias(cur))
         else:
             sels.append(F.element_at(F.col("extra_cols"), F.lit(orig)).alias(cur))
     return actions.select(*sels)

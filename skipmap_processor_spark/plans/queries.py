@@ -1,0 +1,795 @@
+"""Query registry: every SURVEY.md §2 operator class, re-expressed over the
+driver's testdata tables, each with a DuckDB oracle (ANSI SQL) twin.
+
+Registry contract (driver, /root/repo/__spark_entry__.py):
+  QUERIES[name](spark, sf_dir) -> DataFrame
+  ORACLE_SQL[name] = equivalent DuckDB SQL over pre-registered views
+  COVERAGE[name]   = SURVEY §2 operator ids the query exercises
+
+Parity rules used throughout (so order-insensitive value-hashes match):
+- every computed column aliased identically on both sides;
+- doubles rounded (sums 4dp, ratios/avgs 6dp, cosine 5dp);
+- counts cast to bigint; float->int via explicit floor();
+- Spark to_date(ts) <-> DuckDB CAST(ts AS DATE);
+- portable hashes only (md5/sha2), never xxhash64/hash;
+- top-k always ordered by (rounded measure desc, unique key) so ties are
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skipmap_processor_spark.functions.udfs import normalize_content_expr
+from skipmap_processor_spark.operators import dedup_docs, similarity, text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+COVERAGE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, covers: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        COVERAGE[name] = covers
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@q(
+    "a1_pricing_rollup",
+    "A1,A7,P1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                            AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                       AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)    AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                            AS avg_qty,
+           ROUND(AVG(l_discount), 6)                            AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                             AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+
+
+@q(
+    "a2_collect_set_union",
+    "A2",
+    """
+    SELECT n_name,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_mktsegment))), ',')
+               AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def a2_collect_set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count("*").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@q(
+    "a3_argmax_priority_pick",
+    "A3,W2",
+    """
+    SELECT event_type, event_id AS top_event_id, ROUND(value, 6) AS top_value
+    FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a3_argmax_priority_pick(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("top_event_id"),
+            F.round("value", 6).alias("top_value"),
+        )
+    )
+
+
+@q(
+    "a6_temporal_rollup",
+    "A6,F12",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a6_temporal_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@q(
+    "j1_broadcast_lookup_join",
+    "J1,J6",
+    """
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j1_broadcast_lookup_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@q(
+    "j4_left_join_group_agg",
+    "J4",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(COALESCE(o.o_totalprice, 0)), 4) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j4_left_join_group_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0))), 4).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@q(
+    "j5_anti_join",
+    "J5,J8,§2.7-except",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers_no_orders
+    FROM customer c
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def j5_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("bigint").alias("n_customers_no_orders"))
+    )
+
+
+@q(
+    "j3_semi_join",
+    "J3",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def j3_semi_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    rich_nations = c.filter(F.col("c_acctbal") > 9000).select("c_nationkey")
+    return s.join(
+        rich_nations, s.s_nationkey == rich_nations.c_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@q(
+    "j9_union_merge",
+    "J9,S16,§2.7-union",
+    """
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(acctbal), 6) AS avg_bal
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    ) GROUP BY kind
+    """,
+)
+def j9_union_merge(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return c.unionByName(s).groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("acctbal"), 6).alias("avg_bal"),
+    )
+
+
+@q(
+    "set_except_distinct",
+    "§2.7-except,J8",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(filled)  # EXCEPT DISTINCT semantics
+
+
+# ---------------------------------------------------------------------------
+# Windows / ordered semantics (SURVEY §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+@q(
+    "w1_lww_dedup",
+    "W1,S8,A9,I2",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ROUND(value, 6) AS last_value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w1_lww_dedup(spark, sf_dir):
+    """The CDC headline op on driver data: last-writer-wins snapshot per key
+    (reference semantics: /root/reference/src/io/PostGISDataStore.ts:75-85)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+@q(
+    "w2_topk_per_group",
+    "W2,§2.6-topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w2_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+@q(
+    "s5_order_limit_topk",
+    "S5,§2.6-sort-limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def s5_order_limit_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / scalar functions (SURVEY §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+@q(
+    "p1_filter_project",
+    "P1,P3,F11",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
+    """,
+)
+def p1_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 10)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+        ).alias("revenue"),
+    )
+
+
+@q(
+    "p5_explode_tokens",
+    "P5,P4,F7",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    WHERE LENGTH(token) > 3
+    GROUP BY token HAVING COUNT(*) >= 5
+    """,
+)
+def p5_explode_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 3)
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@q(
+    "f5_string_assembly",
+    "F5,F7,F16",
+    """
+    SELECT p_partkey,
+           LOWER(REGEXP_REPLACE(p_brand, '#', '_', 'g')) AS brand_norm,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(p_type, ' '))), '-')
+               AS type_tokens,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+def f5_string_assembly(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.regexp_replace("p_brand", "#", "_")).alias("brand_norm"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("p_type", " "))), "-"
+        ).alias("type_tokens"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+@q(
+    "f4_coercion_clamp",
+    "F4,F13,F14,A5",
+    """
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           ROUND(GREATEST(LEAST(p_retailprice, 1500.0), 950.0), 4) AS price_clamped,
+           (p_size >= 25) AS is_large,
+           COALESCE(NULLIF(p_brand, ''), 'unknown') AS brand_or_unknown
+    FROM part
+    """,
+)
+def f4_coercion_clamp(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.round(
+            F.greatest(F.least(F.col("p_retailprice"), F.lit(1500.0)), F.lit(950.0)),
+            4,
+        ).alias("price_clamped"),
+        (F.col("p_size") >= 25).alias("is_large"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("")), F.lit("unknown")).alias(
+            "brand_or_unknown"
+        ),
+    )
+
+
+@q(
+    "f15_json_extract",
+    "F15,F4",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f15_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.get_json_object("props", "$.k")).cast("bigint").alias("n_with_k"),
+    )
+
+
+@q(
+    "f2_portable_key_hash",
+    "F2",
+    """
+    SELECT event_id,
+           SUBSTRING(md5(CAST(user_id AS VARCHAR) || ':' || event_type), 1, 8)
+               AS key_hash
+    FROM events
+    """,
+)
+def f2_portable_key_hash(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                           F.col("event_type"))),
+            1, 8,
+        ).alias("key_hash"),
+    )
+
+
+@q(
+    "f1_content_sha",
+    "F1,I2",
+    """
+    SELECT doc_id,
+           sha256(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(text, '\\r\\n|\\r', chr(10), 'g'),
+                 '[ \\t]+' || chr(10), chr(10), 'g'),
+               '[ \\t]+$', '', 'g')
+           ) AS content_sha
+    FROM documents
+    """,
+)
+def f1_content_sha(spark, sf_dir):
+    """The per-row identity invariant of the CDC engine, over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.sha2(normalize_content_expr(F.col("text")), 256)).alias(
+            "content_sha"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup ops over documents (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact",
+    "S8,F1",
+    """
+    SELECT sha256(text) AS text_sha,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup_docs.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tok) - 1),
+                    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingle
+      FROM tok WHERE len(tok) >= 3
+    )
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    "J7,A4",
+    _SHINGLE_CTE
+    + """
+    , freq AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shf GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup_docs.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_shingle_freq=100
+    )
+
+
+@q(
+    "dedup_minhash_lsh",
+    "J2,F2,S8",
+    _SHINGLE_CTE
+    + """
+    , hashed AS (
+      SELECT doc_id, h.hidx,
+             CAST(('0x' || substring(md5(CAST(h.hidx AS VARCHAR) || ':' || shingle),
+                                     1, 8))::UBIGINT AS BIGINT) AS hv
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS hidx) h
+    ), sig AS (
+      SELECT doc_id, hidx, MIN(hv) AS minhash FROM hashed GROUP BY doc_id, hidx
+    ), bands AS (
+      SELECT doc_id, CAST(FLOOR(hidx / 4) AS INT) AS band,
+             STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY hidx) AS sig
+      FROM sig GROUP BY doc_id, 2
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup_docs.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=4
+    )
+
+
+@q("dedup_simhash", "F2,S8,§2.10-udf")  # pandas-UDF path; rows-only check
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_docs.simhash(d)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+             / (SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+                * SQRT(list_sum(list_transform(range(1, len(qv) + 1),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))),
+             5) AS cosine
+    FROM embeddings, q
+    {where}
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+@q("sim_topk_cosine", "§sim-brute,F8", _COSINE_SQL.format(where=""))
+def sim_topk_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.cosine_topk(e, list(qv), k=10)
+
+
+@q(
+    "sim_ivf_topk",
+    "§sim-ivf,S4",
+    _COSINE_SQL.format(
+        where="WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)"
+    ),
+)
+def sim_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding", "label").first()
+    return similarity.ivf_topk(e, list(row["embedding"]), row["label"], k=10)
+
+
+@q("sim_lsh_bucket_topk", "§sim-lsh,J2")  # rows-only: bucket math not SQL-economical
+def sim_lsh_bucket_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.lsh_bucket_topk(e, list(qv), dim=len(qv), k=10, planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_langid",
+    "F3,P8",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> t IN ({", ".join(f"'{w}'" for w in text.STOPWORDS)})))
+                  / CAST(GREATEST(LEN(STRING_SPLIT(text, ' ')), 1) AS DOUBLE) >= 0.08
+               THEN 'en_like'
+             WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> t IN ({", ".join(f"'{w}'" for w in text.STOPWORDS)})))
+                  / CAST(GREATEST(LEN(STRING_SPLIT(text, ' ')), 1) AS DOUBLE) >= 0.02
+               THEN 'mixed'
+             ELSE 'other'
+           END AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.langid_expr("text").alias("pred_lang"))
+
+
+@q(
+    "text_quality",
+    "P13,P14,F14",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           ROUND(LENGTH(text) /
+                 CAST(GREATEST(LEN(STRING_SPLIT(text, ' ')), 1) AS DOUBLE), 6)
+               AS avg_token_len,
+           ROUND(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) /
+                 CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS digit_ratio,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> t IN ({", ".join(f"'{w}'" for w in text.STOPWORDS)}))) /
+                 CAST(GREATEST(LEN(STRING_SPLIT(text, ' ')), 1) AS DOUBLE), 6)
+               AS stopword_ratio,
+           ROUND(LEAST(LEN(STRING_SPLIT(text, ' ')) / 64.0, 1.0) *
+                 (1.0 - ROUND(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) /
+                        CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6)), 6)
+               AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    return text.quality_metrics(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_token_stats",
+    "A1,P5",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 6) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    "F1,F2",
+    """
+    SELECT doc_id,
+           SUBSTRING(sha256(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(text, '\\r\\n|\\r', chr(10), 'g'),
+                 '[ \\t]+' || chr(10), chr(10), 'g'),
+               '[ \\t]+$', '', 'g')
+           ), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_expr("text").alias("fingerprint"))

@@ -467,7 +467,10 @@ def write_event_log(outdir: str, events: pd.DataFrame, ddl: pd.DataFrame,
         tbl = pa.Table.from_arrays(arrays, schema=_PA_EVENT_SCHEMA)
         d = os.path.join(outdir, f"epoch={int(ep)}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+        # small row groups -> Spark can split one epoch file across tasks
+        # (a single-row-group file would serialize every map-side stage)
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"),
+                       row_group_size=8192)
         written.append(int(ep))
     if ddl is not None and len(ddl):
         # underscore dir -> invisible to Spark's file source listing

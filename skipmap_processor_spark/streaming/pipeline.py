@@ -90,15 +90,22 @@ def apply_epoch(
     epoch: int,
     ddl: pd.DataFrame | None = None,
     salt_buckets: int = 8,
+    sha_impl: str = "arrow",
 ) -> dict:
     """Apply one epoch exactly once. Safe to call again for any epoch <= HWM."""
     t0 = time.monotonic()
     if epoch <= lake.hwm_epoch:
         return {"skipped": True, "epoch": epoch, "hwm_epoch": lake.hwm_epoch}
-    ddl_applied = _apply_ddl(lake, ddl, epoch)
-    promoted = _auto_promote(lake, events)
-    actions = prepare_actions(events, lake, salt_buckets=salt_buckets)
-    stats = lake.merge_batch(actions, epoch)
+    events = events.persist()  # feeds promote-scan, dedup and rename probe
+    try:
+        ddl_applied = _apply_ddl(lake, ddl, epoch)
+        promoted = _auto_promote(lake, events)
+        actions = prepare_actions(
+            events, lake, salt_buckets=salt_buckets, sha_impl=sha_impl
+        )
+        stats = lake.merge_batch(actions, epoch)
+    finally:
+        events.unpersist()
     stats["ddl_applied"] = ddl_applied
     stats["auto_promoted"] = promoted
     stats["wall_sec"] = time.monotonic() - t0
@@ -111,6 +118,7 @@ def replay_log(
     events: DataFrame,
     ddl: pd.DataFrame | None = None,
     salt_buckets: int = 8,
+    sha_impl: str = "arrow",
 ) -> list[dict]:
     """Batch-mode replay: loop epochs in order through apply_epoch."""
     epochs = sorted(
@@ -119,7 +127,7 @@ def replay_log(
     out = []
     for ep in epochs:
         batch = events.filter(F.col("epoch") == ep).drop("epoch")
-        out.append(apply_epoch(lake, batch, int(ep), ddl, salt_buckets))
+        out.append(apply_epoch(lake, batch, int(ep), ddl, salt_buckets, sha_impl))
     return out
 
 

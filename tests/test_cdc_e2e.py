@@ -57,9 +57,13 @@ def fixtures():
     return generate_full(n_repos=15, n_base_paths=150, n_events=1200, n_epochs=6)
 
 
-def test_e2e_replay_matches_oracle(spark, warehouse, fixtures):
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_e2e_replay_matches_oracle(spark, warehouse, fixtures, merge_mode):
     base, ev, ddl = fixtures
-    lake = LakeTable.create(spark, os.path.join(warehouse, "repos"), num_buckets=8)
+    lake = LakeTable.create(
+        spark, os.path.join(warehouse, f"repos_{merge_mode}"), num_buckets=8,
+        merge_mode=merge_mode,
+    )
     bootstrap_base(lake, spark.createDataFrame(base, schema=base_spark_schema()))
     stats = replay_log(spark, lake, _events_to_spark(spark, ev), ddl)
     assert all(not s["skipped"] for s in stats)
@@ -71,6 +75,11 @@ def test_e2e_replay_matches_oracle(spark, warehouse, fixtures):
     assert engine["content_sha"].equals(oracle["content_sha"])
     # evolved schema arrived
     assert "language" in engine.columns and "branch" in engine.columns
+    if merge_mode == "mor":
+        # folding deltas must not change the visible state
+        lake.compact(target_files_per_bucket=1)
+        assert not lake.manifest()["properties"]["has_deltas"]
+        _assert_equal(_engine_final(lake), oracle)
 
 
 def test_e2e_idempotent_redelivery(spark, warehouse, fixtures):
