@@ -28,16 +28,16 @@ DATA = os.path.join(REPO, ".data")
 
 
 def ensure_event_log(n_keys: int, n_events: int, n_epochs: int) -> str:
-    from skipmap_processor_spark.sources.events import generate_bulk, write_event_log
+    from skipmap_processor_spark.sources.events import generate_bulk_chunked
 
-    sig = f"bulk_k{n_keys}_e{n_events}_p{n_epochs}"
+    sig = f"bulkc_k{n_keys}_e{n_events}_p{n_epochs}"
     outdir = os.path.join(DATA, "bench_events", sig)
     marker = os.path.join(outdir, "_COMPLETE")
     if os.path.exists(marker):
         return outdir
     shutil.rmtree(outdir, ignore_errors=True)
-    _, ev, ddl = generate_bulk(n_keys=n_keys, n_events=n_events, n_epochs=n_epochs)
-    write_event_log(outdir, ev, ddl)
+    generate_bulk_chunked(outdir, n_keys=n_keys, n_events=n_events,
+                          n_epochs=n_epochs)
     with open(marker, "w") as f:
         f.write("ok")
     return outdir
@@ -46,7 +46,7 @@ def ensure_event_log(n_keys: int, n_events: int, n_epochs: int) -> str:
 def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         num_buckets: int | None = None, salt_buckets: int = 8,
         sha_impl: str = "arrow", merge_mode: str = "cow",
-        compact_every: int = 4) -> dict:
+        compact_every: int = 4, warmup_epochs: int = 0) -> dict:
     from pyspark.sql import functions as F
 
     from skipmap_processor_spark.lake import LakeTable
@@ -54,10 +54,12 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
     from skipmap_processor_spark.streaming.pipeline import apply_epoch
 
     events_dir = ensure_event_log(n_keys, n_events, n_epochs)
+    # memory per core held constant (2 GiB/core): a 4N-executor cluster has
+    # 4x the memory of an N-executor one — the sandbox stand-in mirrors that
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        driver_memory="16g",
+        driver_memory=f"{max(2 * cpus, 8)}g",
         app_name=f"cdc-bench-{cpus}",
     )
     lake_dir = os.path.join(DATA, f"bench_lake_{cpus}")
@@ -69,6 +71,21 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
 
     ev = spark.read.parquet(events_dir)
     epochs = sorted(r["epoch"] for r in ev.select("epoch").distinct().collect())
+
+    if warmup_epochs > 0:
+        # untimed JIT/codegen/Python-worker warmup against a scratch lake —
+        # a 10^10-event stream runs warm forever; measuring cold JIT would
+        # understate both configs and distort the scaling ratio
+        wdir = os.path.join(DATA, f"bench_lake_warm_{cpus}")
+        shutil.rmtree(wdir, ignore_errors=True)
+        wlake = LakeTable.create(spark, wdir, num_buckets=num_buckets or max(cpus, 8),
+                                 merge_mode=merge_mode)
+        for ep in epochs[:warmup_epochs]:
+            apply_epoch(wlake, ev.filter(F.col("epoch") == ep).drop("epoch"),
+                        int(ep), None, salt_buckets, sha_impl)
+        wlake.compact(target_files_per_bucket=1)
+        shutil.rmtree(wdir, ignore_errors=True)
+
     t0 = time.monotonic()
     per_epoch = []
     compact_sec = 0.0
@@ -116,9 +133,11 @@ if __name__ == "__main__":
     ap.add_argument("--sha", choices=["arrow", "jvm"], default="arrow")
     ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-every", type=int, default=4)
+    ap.add_argument("--warmup-epochs", type=int, default=0)
     args = ap.parse_args()
     res = run(args.cpus, args.keys, args.events, args.epochs, args.buckets,
-              args.salt, args.sha, args.mode, args.compact_every)
+              args.salt, args.sha, args.mode, args.compact_every,
+              args.warmup_epochs)
     res["sha_impl"] = args.sha
     res["salt_buckets"] = args.salt
     print(json.dumps(res))

@@ -326,7 +326,8 @@ class LakeTable:
     # ------------------------------------------------------------- MERGE
 
     def merge_batch(self, actions: DataFrame, epoch: int | None,
-                    files_per_bucket: int = 1) -> dict:
+                    files_per_bucket: int = 1,
+                    affected_buckets: list[int] | None = None) -> dict:
         """Copy-on-write MERGE of a deduped action batch, gated by epoch HWM.
 
         ``actions`` columns: repo, path, commit, event_seq,
@@ -357,13 +358,19 @@ class LakeTable:
         if mani["properties"].get("merge_mode") == "mor":
             return self._merge_mor(actions, epoch, mani, files_per_bucket)
 
-        # cache: the action batch (incl. the Arrow normalize+sha stage) feeds
-        # both the affected-bucket probe and the merge join — computing the
-        # UDF pipeline twice would double the dominant cost
-        act = actions.withColumn("_bucket", bucket_expr(nb)).persist()
-        affected = sorted(
-            r["_bucket"] for r in act.select("_bucket").distinct().collect()
-        )
+        # affected buckets: use the caller's fused one-pass profile when
+        # given (saves a job per epoch); otherwise probe, caching the action
+        # batch so the Arrow normalize+sha stage doesn't run twice
+        act = actions.withColumn("_bucket", bucket_expr(nb))
+        persisted = False
+        if affected_buckets is not None:
+            affected = sorted(affected_buckets)
+        else:
+            act = act.persist()
+            persisted = True
+            affected = sorted(
+                r["_bucket"] for r in act.select("_bucket").distinct().collect()
+            )
 
         old = self.read(
             buckets=affected, include_deleted=True, with_engine_cols=True
@@ -419,7 +426,8 @@ class LakeTable:
         rel_dir = f"data/v{new_version}"
         out_dir = os.path.join(self.path, rel_dir)
         result.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
-        act.unpersist()
+        if persisted:
+            act.unpersist()
 
         new_files = self._scan_written(out_dir, mani["schema_version"])
         affected_set = set(affected)

@@ -39,6 +39,40 @@ _ACTION_SCHEMA = (
 )
 
 
+def batch_profile(events: DataFrame, num_buckets: int) -> dict:
+    """One-pass batch profile: fuses what would otherwise be three separate
+    driver jobs per epoch (extra-column discovery, rename detection,
+    affected-bucket probe) into a single aggregation. Per-epoch serial driver
+    time is the Amdahl term of the whole pipeline at scale — every fused job
+    buys scaling efficiency.
+
+    Returns {extra_keys, has_renames, affected_buckets}.
+    """
+    from skipmap_processor_spark.lake import bucket_expr
+
+    row = events.agg(
+        F.array_distinct(
+            F.flatten(F.collect_set(F.map_keys("extra_cols")))
+        ).alias("ek"),
+        F.max((F.col("op") == "rename").cast("int")).alias("hr"),
+        F.collect_set(bucket_expr(num_buckets)).alias("b1"),
+        F.collect_set(
+            F.when(
+                F.col("new_path").isNotNull(),
+                F.pmod(
+                    F.xxhash64(F.col("repo"), F.col("new_path")),
+                    F.lit(num_buckets),
+                ),
+            )
+        ).alias("b2"),
+    ).first()
+    return {
+        "extra_keys": sorted(row["ek"] or []),
+        "has_renames": bool(row["hr"]),
+        "affected_buckets": sorted(set(row["b1"] or []) | set(row["b2"] or [])),
+    }
+
+
 def salted_repartition(
     df: DataFrame, num_partitions: int, key: str = "repo", salt: int = 16
 ) -> DataFrame:
@@ -189,7 +223,7 @@ def _resolve_rename_groups(
 
 def prepare_actions(
     events: DataFrame, lake: LakeTable, salt_buckets: int = 8,
-    sha_impl: str = "arrow"
+    sha_impl: str = "arrow", has_renames: bool | None = None
 ) -> DataFrame:
     """Raw epoch events -> one action row per key, in the lake's current
     column names, with ``content_sha`` computed.
@@ -214,7 +248,9 @@ def prepare_actions(
     ev = events
 
     renames = ev.filter(F.col("op") == "rename")
-    if len(renames.take(1)) > 0:
+    if has_renames is None:
+        has_renames = len(renames.take(1)) > 0
+    if has_renames:
         aff_keys = (
             renames.select("repo", "path")
             .union(renames.select("repo", F.col("new_path").alias("path")))

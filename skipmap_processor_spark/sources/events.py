@@ -420,6 +420,69 @@ def generate_bulk(
     return base, df, ddl
 
 
+def generate_bulk_chunked(
+    outdir: str,
+    n_keys: int = 500_000,
+    n_events: int = 8_000_000,
+    n_epochs: int = 4,
+    n_repos: int = 500,
+    hot_share: float = 0.35,
+) -> list[int]:
+    """Epoch-at-a-time bulk generation + write: memory stays at one epoch's
+    frame regardless of total size. Deterministic: the key->repo map is
+    seeded once, each epoch's draws are seeded (SEED, epoch)."""
+    rng0 = np.random.default_rng(SEED)
+    ranks = np.arange(1, n_repos + 1, dtype=float)
+    zipf_p = (1.0 / ranks**1.2) / (1.0 / ranks**1.2).sum()
+    key_repo = rng0.choice(np.arange(n_repos), size=n_keys, p=zipf_p)
+    key_repo[rng0.random(n_keys) < hot_share] = 0
+    repo_names = np.array([f"org{i % 7}/repo{i}" for i in range(n_repos)])
+    pool = np.array(
+        [
+            "\n".join(f"def fn_{j}(x):  \n    return x * {j + t}" for j in range(12))
+            for t in range(64)
+        ],
+        dtype=object,
+    )
+
+    per_epoch = n_events // n_epochs
+    written = []
+    for ep in range(n_epochs):
+        rng = np.random.default_rng((SEED, ep))
+        ev_key = rng.integers(0, n_keys, size=per_epoch)
+        gseq = np.arange(
+            1_000_000 + ep * per_epoch, 1_000_000 + (ep + 1) * per_epoch,
+            dtype=np.int64,
+        )
+        ops = np.where(rng.random(per_epoch) < 0.10, "delete", "update")
+        df = pd.DataFrame(
+            {
+                "epoch": np.full(per_epoch, ep, dtype=np.int64),
+                "event_seq": np.zeros(per_epoch, dtype=np.int64),
+                "commit": pd.Series(gseq).map(lambda g: f"{g:016x}") + "0" * 24,
+                "ts": pd.Timestamp(_T0)
+                + pd.to_timedelta(gseq - 1_000_000, unit="s"),
+                "op": ops,
+                "repo": repo_names[key_repo[ev_key]],
+                "path": pd.Series(ev_key).map(lambda k: f"src/gen/mod_{k}.py"),
+                "new_path": pd.Series([None] * per_epoch, dtype=object),
+                "lang": np.where(ops == "delete", None, "python"),
+                "content": None,
+                "schema_ver": np.ones(per_epoch, dtype=np.int32),
+                "extra_cols": pd.Series([None] * per_epoch, dtype=object),
+            }
+        )
+        content = (
+            pd.Series(pool[ev_key % 64])
+            + "\n# v" + pd.Series(gseq).astype(str) + "   "
+        )
+        df.loc[df["op"] != "delete", "content"] = content[df["op"] != "delete"]
+        write_event_log(outdir, df, None)
+        written.append(ep)
+        del df, content
+    return written
+
+
 # ---- disk layout for the streaming file source ------------------------------
 
 _PA_EVENT_SCHEMA = pa.schema(

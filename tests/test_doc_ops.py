@@ -1,0 +1,163 @@
+"""Training-data-pipeline ops: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from skipmap_processor_spark.operators import (
+    dedup_docs,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1, "the quick brown fox jumps over the lazy dog and runs away slowly"),
+    (2, "completely different content about spark query engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+    (4, "short text"),
+    (5, ""),
+]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def _py_shingles(t, n=3):
+    tok = t.split(" ")
+    return {" ".join(tok[i: i + n]) for i in range(len(tok) - n + 1)} if len(tok) >= n else set()
+
+
+def test_shingles_match_python(spark, docs_df):
+    got = {
+        (r["doc_id"], r["shingle"])
+        for r in dedup_docs.shingles(docs_df).collect()
+    }
+    want = {(i, s) for i, t in DOCS for s in _py_shingles(t)}
+    assert got == want
+
+
+def test_exact_dup_groups(spark, docs_df):
+    groups = {r["text_sha"]: r for r in dedup_docs.exact_dup_groups(docs_df).collect()}
+    sha0 = hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    assert groups[sha0]["n_docs"] == 2 and groups[sha0]["rep_doc_id"] == 0
+
+
+def test_jaccard_pairs_vs_bruteforce(spark, docs_df):
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup_docs.jaccard_pairs(docs_df, threshold=0.2).collect()
+    }
+    # brute force
+    want = {}
+    sh = {i: _py_shingles(t) for i, t in DOCS}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    j = round(inter / len(sh[a] | sh[b]), 6)
+                    if j >= 0.2:
+                        want[(a, b)] = j
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dups
+    assert (0, 1) in got  # near dups
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in dedup_docs.minhash_lsh_candidates(docs_df).collect()
+    }
+    assert (0, 3) in pairs, "identical docs must collide in every band"
+    assert (0, 2) not in pairs, "unrelated docs should not be candidates"
+
+
+def test_simhash_properties(spark, docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(docs_df).collect()}
+    assert got[0] == got[3], "identical text -> identical simhash"
+    h01 = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+    h02 = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert h01 < h02, "near-dup hamming distance < unrelated distance"
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
+    # query must go through the same float32 quantization as the stored vecs
+    q32 = [float(np.float32(x)) for x in vecs[0][1]]
+    got = [(r["vec_id"], r["cosine"]) for r in similarity.cosine_topk(df, q32, k=5).collect()]
+    want = sorted(
+        ((i, round(_cos([np.float32(x) for x in v], q32), 5)) for i, v, _ in vecs),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert abs(gc - wc) < 1e-4
+    assert got[0][0] == 0 and got[0][1] == 1.0  # self-similarity
+
+
+def test_ivf_topk_subset_of_cell(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
+    got = similarity.ivf_topk(df, vecs[0][1], query_cell=0, k=5).collect()
+    assert all(r["vec_id"] % 3 == 0 for r in got)
+    assert got[0]["vec_id"] == 0
+
+
+def test_lsh_bucket_topk_contains_self(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], 0) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
+    got = similarity.lsh_bucket_topk(df, vecs[0][1], dim=8, k=5, planes=4).collect()
+    assert got and got[0]["vec_id"] == 0, "query's own vector shares its bucket"
+
+
+def test_text_quality_and_langid(spark, docs_df):
+    qm = {r["doc_id"]: r for r in text.quality_metrics(docs_df).collect()}
+    assert qm[0]["n_tokens"] == 13
+    assert qm[5]["n_tokens"] == 1  # split('') -> ['']
+    pred = {
+        r["doc_id"]: r["pred_lang"]
+        for r in docs_df.select(
+            "doc_id", text.langid_expr("text").alias("pred_lang")
+        ).collect()
+    }
+    assert pred[0] == "en_like"  # 'the' twice + 'and' in 13 tokens
+    assert pred[5] == "other"
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5  # histogram normalized
+        assert r["n_bytes"] > 0
+    frames = multimodal.frame_sample(media, every_n=10).collect()
+    vids = media.filter("kind='video'").count()
+    assert len(frames) == vids * 3  # frames 0,10,20 of 30
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00" * 10)
+    img = multimodal.decode_image(b"\x01" * 200, fake=True)
+    assert img.shape == (8, 8, 3)
