@@ -43,6 +43,22 @@ def ensure_event_log(n_keys: int, n_events: int, n_epochs: int) -> str:
     return outdir
 
 
+def _proc_stat() -> tuple[float, float]:
+    """(busy_cpu_sec, steal_sec) system-wide from /proc/stat (USER_HZ=100).
+
+    The sandbox VM shows 10-25% hypervisor steal that varies by the minute;
+    events-per-CPU-second is the throttle-robust scaling evidence alongside
+    wall clock."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    user, nice, system = vals[0], vals[1], vals[2]
+    irq = vals[5] if len(vals) > 5 else 0
+    softirq = vals[6] if len(vals) > 6 else 0
+    steal = vals[7] if len(vals) > 7 else 0
+    return (user + nice + system + irq + softirq) / 100.0, steal / 100.0
+
+
 def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         num_buckets: int | None = None, salt_buckets: int = 8,
         sha_impl: str = "arrow", merge_mode: str = "cow",
@@ -54,6 +70,14 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
     from skipmap_processor_spark.streaming.pipeline import apply_epoch
 
     events_dir = ensure_event_log(n_keys, n_events, n_epochs)
+    # Bench scratch (shuffle dirs + lake) lives on tmpfs: the sandbox's
+    # virtual disk throttles sustained writes to ~40 MB/s after a burst
+    # (measured: 2 GB buffered write+sync 4s, 4s, 58s, 49s back-to-back),
+    # which is an artifact of the shared VM, not of the modeled cluster
+    # (executor-local NVMe scales with executor count). Inputs stay on disk.
+    scratch = "/dev/shm/skipmap_bench"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
     # memory per core held constant (2 GiB/core): a 4N-executor cluster has
     # 4x the memory of an N-executor one — the sandbox stand-in mirrors that
     spark = get_spark(
@@ -61,8 +85,9 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         shuffle_partitions=cpus,
         driver_memory=f"{max(2 * cpus, 8)}g",
         app_name=f"cdc-bench-{cpus}",
+        extra_conf={"spark.local.dir": os.path.join(scratch, "spark-local")},
     )
-    lake_dir = os.path.join(DATA, f"bench_lake_{cpus}")
+    lake_dir = os.path.join(scratch, f"bench_lake_{cpus}")
     shutil.rmtree(lake_dir, ignore_errors=True)
     lake = LakeTable.create(
         spark, lake_dir, num_buckets=num_buckets or max(cpus, 8),
@@ -76,7 +101,7 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         # untimed JIT/codegen/Python-worker warmup against a scratch lake —
         # a 10^10-event stream runs warm forever; measuring cold JIT would
         # understate both configs and distort the scaling ratio
-        wdir = os.path.join(DATA, f"bench_lake_warm_{cpus}")
+        wdir = os.path.join(scratch, f"bench_lake_warm_{cpus}")
         shutil.rmtree(wdir, ignore_errors=True)
         wlake = LakeTable.create(spark, wdir, num_buckets=num_buckets or max(cpus, 8),
                                  merge_mode=merge_mode)
@@ -86,6 +111,7 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         wlake.compact(target_files_per_bucket=1)
         shutil.rmtree(wdir, ignore_errors=True)
 
+    cpu0, steal0 = _proc_stat()
     t0 = time.monotonic()
     per_epoch = []
     compact_sec = 0.0
@@ -102,8 +128,10 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
             lake.compact(target_files_per_bucket=1)
             compact_sec += time.monotonic() - tc
     wall = time.monotonic() - t0
+    cpu1, steal1 = _proc_stat()
     final_rows = lake.read().count()
     spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
     return {
         "cpus": cpus,
         "n_events": n_events,
@@ -118,6 +146,9 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         ),
         "per_epoch_sec": per_epoch,
         "compact_sec": round(compact_sec, 3),
+        "cpu_sec": round(cpu1 - cpu0, 1),
+        "steal_sec": round(steal1 - steal0, 1),
+        "events_per_cpu_sec": round(n_events / max(cpu1 - cpu0, 1e-9), 1),
         "final_rows": final_rows,
     }
 

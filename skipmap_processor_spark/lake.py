@@ -327,7 +327,8 @@ class LakeTable:
 
     def merge_batch(self, actions: DataFrame, epoch: int | None,
                     files_per_bucket: int = 1,
-                    affected_buckets: list[int] | None = None) -> dict:
+                    affected_buckets: list[int] | None = None,
+                    pre_partitioned: bool = False) -> dict:
         """Copy-on-write MERGE of a deduped action batch, gated by epoch HWM.
 
         ``actions`` columns: repo, path, commit, event_seq,
@@ -356,7 +357,8 @@ class LakeTable:
                 actions = actions.withColumn(col, F.lit(None).cast(pay_types[col]))
 
         if mani["properties"].get("merge_mode") == "mor":
-            return self._merge_mor(actions, epoch, mani, files_per_bucket)
+            return self._merge_mor(actions, epoch, mani, files_per_bucket,
+                                   pre_partitioned)
 
         # affected buckets: use the caller's fused one-pass profile when
         # given (saves a job per epoch); otherwise probe, caching the action
@@ -452,7 +454,8 @@ class LakeTable:
         return stats
 
     def _merge_mor(self, actions: DataFrame, epoch: int | None, mani: dict,
-                   files_per_bucket: int = 1) -> dict:
+                   files_per_bucket: int = 1,
+                   pre_partitioned: bool = False) -> dict:
         """Merge-on-read: append the deduped batch as delta rows — no read of
         existing data, no join. Cost is proportional to the batch, never to
         the table. Readers resolve versions via the LWW window (read());
@@ -473,13 +476,19 @@ class LakeTable:
                 .alias(c)
                 for c in payload
             ],
-        ).withColumn("_bucket", bucket_expr(nb))
-
-        fpb = max(files_per_bucket, 1)
-        parts = [F.col("_bucket")]
-        if fpb > 1:
-            parts.append(F.pmod(F.xxhash64(F.col("path")), F.lit(fpb)))
-        rows = rows.repartition(nb * fpb, *parts).sortWithinPartitions(*KEY_COLS)
+            *([F.col("_bucket")] if pre_partitioned else []),
+        )
+        if not pre_partitioned:
+            # the general path shuffles here; the fast path
+            # (prepare_actions_fast) already bucket-partitioned upstream —
+            # select() preserves partitioning, so this shuffle is skipped
+            rows = rows.withColumn("_bucket", bucket_expr(nb))
+            fpb = max(files_per_bucket, 1)
+            parts = [F.col("_bucket")]
+            if fpb > 1:
+                parts.append(F.pmod(F.xxhash64(F.col("path")), F.lit(fpb)))
+            rows = rows.repartition(nb * fpb, *parts)
+        rows = rows.sortWithinPartitions(*KEY_COLS)
 
         new_version = mani["version"] + 1
         out_dir = os.path.join(self.path, f"data/v{new_version}")
@@ -573,6 +582,18 @@ class LakeTable:
                 [], "epoch bigint, bucket bigint, rows bigint, version bigint"
             )
         return self.spark.read.parquet(d)
+
+    # ------------------------------------------------------------- exports
+
+    def export_json(self, out_dir: str) -> None:
+        """Newline-delimited JSON export of the live table (reference sink:
+        GeoJSON FeatureCollection, /root/reference/src/transforms/FeatureCollection.ts:1-9)."""
+        self.read().write.mode("overwrite").json(out_dir)
+
+    def export_csv(self, out_dir: str) -> None:
+        """Headered CSV export (reference sink:
+        /root/reference/src/transforms/CSVFormatter.ts:66-127)."""
+        self.read().write.mode("overwrite").option("header", True).csv(out_dir)
 
     # ------------------------------------------------------------- maintenance
 

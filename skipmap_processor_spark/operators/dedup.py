@@ -221,6 +221,88 @@ def _resolve_rename_groups(
     return both.groupBy("repo").applyInPandas(resolve, schema=_ACTION_SCHEMA)
 
 
+def prepare_actions_fast(
+    events: DataFrame, lake: LakeTable, sha_impl: str = "arrow",
+    files_per_bucket: int = 1
+) -> DataFrame:
+    """Single-exchange action preparation for rename-free batches.
+
+    The general path costs 2-3 exchanges of full rows (content strings are
+    the dominant bytes). Here the ONLY exchange is a window partitioned by
+    ``(_bucket, _salt)`` — the same partitioning the lake write needs — with
+    an in-partition sort by (key, ord desc); a ``lag`` comparison marks each
+    key's first (= winning) row, entirely inside the JVM. Normalization +
+    sha follow as per-row expressions (no further exchange), and the write
+    proceeds without re-shuffling. Returns a DataFrame already partitioned
+    by ``_bucket`` — pass ``pre_partitioned=True`` to ``merge_batch``.
+
+    Skew: the ``_salt`` sub-split hashes the path, which preserves
+    key-completeness (all events of one (repo, path) share a salt) while
+    spreading a hot repo's paths across tasks, and gives the exchange many
+    more keys than slots (hashing nb bucket values into nb slots leaves
+    ~37% slots idle and piles 3-4 buckets on others — measured 3-5x
+    stragglers).
+    """
+    mani = lake.manifest()
+    nb = int(mani["num_buckets"])
+    name_map = lake.payload_name_map(mani)
+    payload = lake.payload_columns(mani)
+    cur_to_orig = {v: k for k, v in name_map.items()}
+
+    from pyspark.sql import Window
+
+    from skipmap_processor_spark.lake import bucket_expr
+
+    shuffle_parts = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    fpb = max(files_per_bucket, -(-4 * shuffle_parts // nb))
+    ev = events.select(
+        *KEY_COLS, "commit", "event_seq", "op", "lang", "content", "extra_cols",
+        bucket_expr(nb).alias("_bucket"),
+        F.pmod(F.xxhash64(F.col("path")), F.lit(fpb)).alias("_salt"),
+    )
+    w = Window.partitionBy("_bucket", "_salt").orderBy(
+        F.col("repo").asc(), F.col("path").asc(),
+        F.col("commit").desc(), F.col("event_seq").desc(),
+    )
+    key = F.concat_ws("\x00", F.col("repo"), F.col("path"))
+    prev = F.lag(key).over(w)
+    deduped = (
+        ev.withColumn("_is_first", prev.isNull() | (prev != key))
+        .filter(F.col("_is_first"))
+        .drop("_is_first", "_salt")
+    )
+
+    if sha_impl == "jvm":
+        from skipmap_processor_spark.functions.udfs import content_sha_expr
+
+        sha_col = content_sha_expr(F.col("content"))
+    else:
+        from skipmap_processor_spark.functions.udfs import content_sha_via_pandas
+
+        sha_col = content_sha_via_pandas(F.col("content"))
+
+    sels = [F.col(c) for c in KEY_COLS + ["commit", "event_seq"]]
+    sels.append(
+        F.when(F.col("op") == "delete", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op")
+    )
+    for cur in payload:
+        orig = cur_to_orig.get(cur, cur)
+        if orig == "lang":
+            sels.append(F.col("lang").alias(cur))
+        elif orig == "content":
+            sels.append(F.col("content").alias(cur))
+        elif orig == "content_sha":
+            sels.append(sha_col.alias(cur))
+        else:
+            sels.append(F.element_at(F.col("extra_cols"), F.lit(orig)).alias(cur))
+    sels.append(F.col("_bucket"))
+    return deduped.select(*sels)
+
+
 def prepare_actions(
     events: DataFrame, lake: LakeTable, salt_buckets: int = 8,
     sha_impl: str = "arrow", has_renames: bool | None = None

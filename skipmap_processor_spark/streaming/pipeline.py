@@ -112,13 +112,27 @@ def apply_epoch(
         if k not in known_orig:
             lake.add_column(k, "string", src_key=k)
             promoted.append(k)
-    actions = prepare_actions(
-        events, lake, salt_buckets=salt_buckets, sha_impl=sha_impl,
-        has_renames=profile["has_renames"],
-    )
-    stats = lake.merge_batch(
-        actions, epoch, affected_buckets=profile["affected_buckets"]
-    )
+    if (
+        not profile["has_renames"]
+        and mani["properties"].get("merge_mode") == "mor"
+    ):
+        # fast path: single shuffle (the bucket partition the write needs),
+        # fused in-partition LWW dedup + vectorized normalization
+        from skipmap_processor_spark.operators.dedup import prepare_actions_fast
+
+        actions = prepare_actions_fast(events, lake, sha_impl=sha_impl)
+        stats = lake.merge_batch(
+            actions, epoch, affected_buckets=profile["affected_buckets"],
+            pre_partitioned=True,
+        )
+    else:
+        actions = prepare_actions(
+            events, lake, salt_buckets=salt_buckets, sha_impl=sha_impl,
+            has_renames=profile["has_renames"],
+        )
+        stats = lake.merge_batch(
+            actions, epoch, affected_buckets=profile["affected_buckets"]
+        )
     stats["ddl_applied"] = ddl_applied
     stats["auto_promoted"] = promoted
     stats["wall_sec"] = time.monotonic() - t0
