@@ -40,6 +40,12 @@ def main() -> None:
         app_name="bench",
     )
 
+    # warmup: JIT/codegen/Arrow-worker spin-up so per-query numbers reflect
+    # steady state (first-shape execution costs 3-10x otherwise)
+    for name in ("a1_pricing_rollup", "dedup_ngram_jaccard", "sim_topk_cosine",
+                 "w1_lww_dedup"):
+        QUERIES[name](spark, sf_dir).count()
+
     qsecs: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.monotonic()

@@ -27,12 +27,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(cpus: int, keys: int, events: int, epochs: int, mode: str,
-            warmup: int) -> dict:
+            warmup: int, sha: str) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "bench", "cdc_bench.py"),
         "--cpus", str(cpus), "--keys", str(keys), "--events", str(events),
         "--epochs", str(epochs), "--mode", mode,
-        "--warmup-epochs", str(warmup),
+        "--warmup-epochs", str(warmup), "--sha", sha,
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
@@ -50,6 +50,13 @@ def main() -> None:
     ap.add_argument("--mode", default="mor")
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--reps", type=int, default=2)
+    # jvm sha keeps ALL compute inside the measured local[N] thread pool;
+    # the Arrow path offloads normalization to Python worker processes that
+    # are NOT bounded by local[N], inflating the small-N throughput and
+    # understating scaling efficiency (measured: arrow local[8] 351k vs jvm
+    # 288k events/s on identical input — the delta is Python processes
+    # running on cores outside the N budget)
+    ap.add_argument("--sha", choices=["arrow", "jvm"], default="jvm")
     args = ap.parse_args()
 
     # alternate configs across repetitions so transient host noise (shared
@@ -57,9 +64,9 @@ def main() -> None:
     smalls, bigs = [], []
     for _ in range(args.reps):
         smalls.append(run_one(args.n, args.keys, args.events, args.epochs,
-                              args.mode, args.warmup))
+                              args.mode, args.warmup, args.sha))
         bigs.append(run_one(args.n * 4, args.keys, args.events, args.epochs,
-                            args.mode, args.warmup))
+                            args.mode, args.warmup, args.sha))
     small = max(smalls, key=lambda r: r["steady_events_per_sec"])
     big = max(bigs, key=lambda r: r["steady_events_per_sec"])
 
@@ -88,7 +95,9 @@ seed=42, one hot repo at 35% of events), two parallelism levels in separate
 JVMs, {args.warmup} untimed warmup epochs per run (JIT/codegen — a
 10^10-event stream runs warm), memory held at 2 GiB/core (a 4N cluster has
 4N memory), {args.reps} alternating repetitions with best steady rate per
-config (controls shared-VM host noise).
+config (controls shared-VM host noise), sha impl `{args.sha}` (jvm keeps
+all compute inside the measured local[N] pool; the Arrow path's Python
+workers are not core-bounded and would inflate the small-N number).
 
 | run | master | shuffle partitions | wall sec | events/sec | steady events/sec* | cpu sec | steal sec | events/cpu-sec |
 |---|---|---|---|---|---|---|---|---|

@@ -39,6 +39,18 @@ _ACTION_SCHEMA = (
 )
 
 
+def _with_map_extras(events: DataFrame) -> DataFrame:
+    """Normalize extra_cols to map<string,string> (all-null batches infer
+    VOID, which breaks map functions)."""
+    if "extra_cols" in events.columns and not str(
+        events.schema["extra_cols"].dataType
+    ).startswith("MapType"):
+        return events.withColumn(
+            "extra_cols", F.col("extra_cols").cast("map<string,string>")
+        )
+    return events
+
+
 def batch_profile(events: DataFrame, num_buckets: int) -> dict:
     """One-pass batch profile: fuses what would otherwise be three separate
     driver jobs per epoch (extra-column discovery, rename detection,
@@ -50,6 +62,7 @@ def batch_profile(events: DataFrame, num_buckets: int) -> dict:
     """
     from skipmap_processor_spark.lake import bucket_expr
 
+    events = _with_map_extras(events)
     row = events.agg(
         F.array_distinct(
             F.flatten(F.collect_set(F.map_keys("extra_cols")))
@@ -257,6 +270,7 @@ def prepare_actions_fast(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     fpb = max(files_per_bucket, -(-4 * shuffle_parts // nb))
+    events = _with_map_extras(events)
     ev = events.select(
         *KEY_COLS, "commit", "event_seq", "op", "lang", "content", "extra_cols",
         bucket_expr(nb).alias("_bucket"),
@@ -320,6 +334,7 @@ def prepare_actions(
     payload = lake.payload_columns(mani)
     cur_to_orig = {v: k for k, v in name_map.items()}
 
+    events = _with_map_extras(events)
     # NOTE on exact duplicate deliveries inside one batch: no dropDuplicates
     # pass is needed. Verbatim duplicates tie in the LWW window; row_number
     # keeps exactly one and the tied rows are identical in every column, so

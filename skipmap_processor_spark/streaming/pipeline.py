@@ -96,36 +96,65 @@ def apply_epoch(
     t0 = time.monotonic()
     if epoch <= lake.hwm_epoch:
         return {"skipped": True, "epoch": epoch, "hwm_epoch": lake.hwm_epoch}
-    from skipmap_processor_spark.operators.dedup import batch_profile
+    from skipmap_processor_spark.operators.dedup import (
+        batch_profile,
+        prepare_actions_fast,
+    )
 
-    mani = lake.manifest()
-    # NOTE: no persist() of the batch. The two passes (profile + dedup) each
-    # re-scan the source, but a parquet re-read is ~10x cheaper than building
-    # a multi-GB columnar cache per epoch (measured: cache build 6-10s + GC
-    # churn vs 0.6s re-read for a 2M-row epoch).
-    # ONE pass computes extra-column keys, rename flag, affected buckets
-    profile = batch_profile(events, int(mani["num_buckets"]))
+    # NOTE: no persist() of the batch — a parquet re-scan is ~10x cheaper
+    # than building a multi-GB columnar cache per epoch (measured: cache
+    # build 6-10s + GC churn vs 0.6s re-read for a 2M-row epoch).
     ddl_applied = _apply_ddl(lake, ddl, epoch)
-    known_orig = set(lake.payload_name_map())
-    promoted = []
-    for k in profile["extra_keys"]:
-        if k not in known_orig:
-            lake.add_column(k, "string", src_key=k)
-            promoted.append(k)
-    if (
-        not profile["has_renames"]
-        and mani["properties"].get("merge_mode") == "mor"
-    ):
-        # fast path: single shuffle (the bucket partition the write needs),
-        # fused in-partition LWW dedup + vectorized normalization
-        from skipmap_processor_spark.operators.dedup import prepare_actions_fast
+    mani = lake.manifest()
+    promoted: list[str] = []
+    stats = None
 
-        actions = prepare_actions_fast(events, lake, sha_impl=sha_impl)
-        stats = lake.merge_batch(
-            actions, epoch, affected_buckets=profile["affected_buckets"],
-            pre_partitioned=True,
+    if mani["properties"].get("merge_mode") == "mor":
+        # OPTIMISTIC single-pass fast path: assume the epoch is rename-free
+        # and carries no unseen extra columns (true for every steady-state
+        # epoch); validate via observe() metrics computed DURING the one
+        # pass, and roll back the uncommitted staging dir if violated.
+        from pyspark.sql import Observation
+
+        known = sorted(lake.payload_name_map())
+        known_list = ", ".join(f"'{k}'" for k in known) or "''"
+        obs = Observation()
+        ev_obs = events.observe(
+            obs,
+            F.sum((F.col("op") == "rename").cast("long")).alias("n_renames"),
+            F.sum(
+                (
+                    F.size(
+                        F.expr(
+                            "map_filter(CAST(extra_cols AS MAP<STRING,STRING>), "
+                            f"(k, v) -> NOT k IN ({known_list}))"
+                        )
+                    )
+                    > 0
+                ).cast("long")
+            ).alias("n_unknown_extras"),
         )
-    else:
+        actions = prepare_actions_fast(ev_obs, lake, sha_impl=sha_impl)
+
+        def valid() -> bool:
+            m = obs.get
+            return not m["n_renames"] and not m["n_unknown_extras"]
+
+        stats = lake.merge_batch(
+            actions, epoch, pre_partitioned=True, pre_commit_check=valid
+        )
+        if stats.get("aborted"):
+            stats = None  # fall through to the general path
+
+    if stats is None:
+        # general path: one profile pass (extra keys, rename flag, buckets),
+        # schema promotion, salted window dedup + rename resolution
+        profile = batch_profile(events, int(mani["num_buckets"]))
+        known_orig = set(lake.payload_name_map())
+        for k in profile["extra_keys"]:
+            if k not in known_orig:
+                lake.add_column(k, "string", src_key=k)
+                promoted.append(k)
         actions = prepare_actions(
             events, lake, salt_buckets=salt_buckets, sha_impl=sha_impl,
             has_renames=profile["has_renames"],
