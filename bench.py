@@ -53,12 +53,18 @@ def main() -> None:
         fn(spark, sf_dir).count()
         qsecs[name] = round(time.monotonic() - t0, 3)
 
-    # CDC replay headline (reuses the live session's master/cpus)
+    # CDC replay headline (reuses the live session's master/cpus): both
+    # merge modes — MOR is the write-heavy scale path, CoW the read-optimal
     cdc = cdc_run(
         cpus=cpus, n_keys=300_000, n_events=1_000_000, n_epochs=4,
         merge_mode="mor", compact_every=4, sha_impl="arrow",
     )
-    qsecs["cdc_replay_1m_events"] = cdc["wall_sec"]
+    qsecs["cdc_replay_1m_events_mor"] = cdc["wall_sec"]
+    cdc_cow = cdc_run(
+        cpus=cpus, n_keys=300_000, n_events=1_000_000, n_epochs=4,
+        merge_mode="cow", sha_impl="arrow",
+    )
+    qsecs["cdc_replay_1m_events_cow"] = cdc_cow["wall_sec"]
 
     total = round(sum(qsecs.values()), 3)
     print(
@@ -70,6 +76,7 @@ def main() -> None:
                 "queries": qsecs,
                 "sf": sf,
                 "cdc": cdc,
+                "cdc_cow": cdc_cow,
             }
         )
     )

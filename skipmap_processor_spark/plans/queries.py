@@ -555,6 +555,32 @@ def f1_content_sha(spark, sf_dir):
     )
 
 
+@q(
+    "s18_view_sql",
+    "S18,A1",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def s18_view_sql(spark, sf_dir):
+    """SQL-text surface over a registered view (reference: CREATE OR REPLACE
+    VIEW definitions, /root/reference/src/io/PostGISDataStore.ts:420-572)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders_v WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup ops over documents (training-data pipeline)
 # ---------------------------------------------------------------------------

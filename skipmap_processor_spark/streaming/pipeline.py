@@ -196,6 +196,8 @@ def run_stream(
     available_now: bool = True,
     salt_buckets: int = 8,
     on_batch=None,
+    compact_every: int = 0,
+    sha_impl: str = "arrow",
 ):
     """Tail the event directory as a Structured Streaming file source.
 
@@ -222,7 +224,14 @@ def run_stream(
                 int(ep),
                 ddl,
                 salt_buckets,
+                sha_impl,
             )
+            if (
+                compact_every > 0
+                and not stats.get("skipped")
+                and (int(ep) + 1) % compact_every == 0
+            ):
+                stats["compact"] = lake.compact(target_files_per_bucket=1)
             if on_batch is not None:
                 on_batch(stats)
 
