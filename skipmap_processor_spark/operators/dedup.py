@@ -126,11 +126,94 @@ def lww_dedup(events: DataFrame, salt_buckets: int = 8) -> DataFrame:
     )
 
 
+def rename_components(renames: DataFrame, max_iters: int = 8) -> DataFrame:
+    """Connected components of the in-epoch rename graph: (repo, path) ->
+    component label. Iterative min-label propagation over the (small)
+    rename edge set — the distributed analog of the reference's endpoint
+    graph walk (/root/reference/src/transforms/normalization/PointGraph.ts:79-131).
+
+    Rename chains are short (A->B->C), so this converges in a few rounds;
+    grouping the sequential resolver by component instead of by repo bounds
+    each applyInPandas group to one chain's keys — a hot repo with one
+    rename no longer funnels its whole epoch slice into a single group.
+    """
+    edges = renames.select(
+        "repo",
+        F.col("path").alias("a"),
+        F.col("new_path").alias("b"),
+    ).distinct()
+
+    # hybrid: below the threshold a driver-side union-find is microseconds
+    # and saves ~8 Spark jobs per rename epoch; the iterative-join loop
+    # below handles rename sets too large to collect (the 10^10 regime)
+    small = edges.limit(500_001).collect()
+    if len(small) <= 500_000:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in small:
+            for v in ((r["repo"], r["a"]), (r["repo"], r["b"])):
+                parent.setdefault(v, v)
+            ra, rb = find((r["repo"], r["a"])), find((r["repo"], r["b"]))
+            if ra != rb:
+                parent[rb] = ra
+        rows = [
+            (repo, path, "\x00".join(find((repo, path))))
+            for (repo, path) in parent
+        ]
+        return renames.sparkSession.createDataFrame(
+            rows, "repo string, path string, label string"
+        )
+
+    verts = (
+        edges.select("repo", F.col("a").alias("path"))
+        .union(edges.select("repo", F.col("b").alias("path")))
+        .distinct()
+    )
+    labels = verts.withColumn(
+        "label", F.concat_ws("\x00", F.col("repo"), F.col("path"))
+    )
+    both = edges.union(
+        edges.select("repo", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            both.join(
+                labels.select(
+                    "repo", F.col("path").alias("b"), F.col("label").alias("nl")
+                ),
+                ["repo", "b"],
+            )
+            .groupBy("repo", F.col("a").alias("path"))
+            .agg(F.min("nl").alias("nl"))
+        )
+        updated = labels.join(neigh, ["repo", "path"], "left").select(
+            "repo", "path",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "new_label"
+            ),
+            F.col("label"),
+        )
+        n_changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select(
+            "repo", "path", F.col("new_label").alias("label")
+        )
+        if n_changed == 0:
+            break
+    return labels
+
+
 def _resolve_rename_groups(
     ev_aff: DataFrame, lake: LakeTable, aff_keys: DataFrame
 ) -> DataFrame:
     """Sequentially replay events on rename-affected keys, seeded with the
-    current table state for those keys (bucket-pruned lookup)."""
+    current table state for those keys (bucket-pruned lookup). Groups are
+    rename-graph connected components (see rename_components), not repos."""
     mani = lake.manifest()
     name_map = lake.payload_name_map(mani)  # original -> current
     promoted = [
@@ -138,6 +221,9 @@ def _resolve_rename_groups(
         for orig, cur in name_map.items()
         if orig not in ("lang", "content", "content_sha")
     ]
+
+    renames = ev_aff.filter(F.col("op") == "rename")
+    cc = rename_components(renames).withColumnRenamed("label", "_cc")
 
     seeds = lake.lookup(aff_keys, include_deleted=True)
     extra_entries: list = []
@@ -171,7 +257,7 @@ def _resolve_rename_groups(
         "extra_cols",
         F.lit(False).alias("is_deleted"),
     )
-    both = seeds.unionByName(ev)
+    both = seeds.unionByName(ev).join(F.broadcast(cc), KEY_COLS)
 
     def resolve(pdf):
         import pandas as pd
@@ -231,7 +317,7 @@ def _resolve_rename_groups(
             ],
         )
 
-    return both.groupBy("repo").applyInPandas(resolve, schema=_ACTION_SCHEMA)
+    return both.groupBy("_cc").applyInPandas(resolve, schema=_ACTION_SCHEMA)
 
 
 def prepare_actions_fast(

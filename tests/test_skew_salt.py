@@ -95,3 +95,22 @@ def test_bulk_fast_path_equals_duckdb_oracle(spark, warehouse):
         """
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(engine, oracle)
+
+
+def test_rename_components(spark):
+    from skipmap_processor_spark.operators.dedup import rename_components
+
+    renames = spark.createDataFrame(
+        [
+            ("r1", "a", "b"), ("r1", "b", "c"),          # chain a-b-c
+            ("r1", "x", "y"),                              # separate pair
+            ("r2", "a", "b"),                              # same paths, other repo
+        ],
+        "repo string, path string, new_path string",
+    ).withColumn("op", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("rename"))
+    cc = rename_components(renames).toPandas()
+    lbl = {(r.repo, r.path): r.label for r in cc.itertuples()}
+    assert lbl[("r1", "a")] == lbl[("r1", "b")] == lbl[("r1", "c")]
+    assert lbl[("r1", "x")] == lbl[("r1", "y")]
+    assert lbl[("r1", "x")] != lbl[("r1", "a")]
+    assert lbl[("r2", "a")] != lbl[("r1", "a")]
