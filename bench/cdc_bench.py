@@ -85,12 +85,29 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         shuffle_partitions=cpus,
         driver_memory=f"{max(2 * cpus, 8)}g",
         app_name=f"cdc-bench-{cpus}",
-        extra_conf={"spark.local.dir": os.path.join(scratch, "spark-local")},
+        extra_conf={
+            "spark.local.dir": os.path.join(scratch, "spark-local"),
+            # One epoch = one ~650MB parquet file. At the default 128MB split
+            # the map stage (scan+shuffle-write) runs on ~5 tasks — a fixed
+            # serial term that caps BOTH configs and kills the N->4N ratio.
+            # 8MB splits give ~80 map tasks: >=2 waves at local[32], ~10 at
+            # local[8] — identical job, parallelism-independent.
+            "spark.sql.files.maxPartitionBytes": "8388608",
+            # Bound JVM service threads to the modeled core count: a local[8]
+            # JVM on a 32-core host otherwise runs ~23 ParallelGC threads,
+            # free-riding on cores a real 8-core executor would not have and
+            # inflating the small-N throughput.
+            "spark.driver.extraJavaOptions":
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus}"
+                f" -XX:CICompilerCount={max(2, min(cpus, 4))}",
+        },
     )
     lake_dir = os.path.join(scratch, f"bench_lake_{cpus}")
     shutil.rmtree(lake_dir, ignore_errors=True)
+    # num_buckets fixed (NOT a function of cpus): the scaling protocol demands
+    # the identical job at both parallelism levels.
     lake = LakeTable.create(
-        spark, lake_dir, num_buckets=num_buckets or max(cpus, 8),
+        spark, lake_dir, num_buckets=num_buckets or 32,
         merge_mode=merge_mode,
     )
 
@@ -111,9 +128,11 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         wlake.compact(target_files_per_bucket=1)
         shutil.rmtree(wdir, ignore_errors=True)
 
+    detail = os.environ.get("SKIPMAP_BENCH_DETAIL") == "1"
     cpu0, steal0 = _proc_stat()
     t0 = time.monotonic()
     per_epoch = []
+    epoch_detail = []
     compact_sec = 0.0
     for i, ep in enumerate(epochs):
         te = time.monotonic()
@@ -122,6 +141,10 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
             None, salt_buckets, sha_impl,
         )
         per_epoch.append(round(time.monotonic() - te, 3))
+        if detail:
+            epoch_detail.append({k: stats.get(k) for k in
+                                 ("t_write", "t_scan", "t_commit", "t_ledger",
+                                  "files_written", "wall_sec")})
         assert not stats["skipped"]
         if merge_mode == "mor" and (i + 1) % compact_every == 0:
             tc = time.monotonic()
@@ -150,6 +173,7 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         "steal_sec": round(steal1 - steal0, 1),
         "events_per_cpu_sec": round(n_events / max(cpu1 - cpu0, 1e-9), 1),
         "final_rows": final_rows,
+        **({"epoch_detail": epoch_detail} if detail else {}),
     }
 
 

@@ -424,7 +424,7 @@ class LakeTable:
             parts.append(F.pmod(F.xxhash64(F.col("path")), F.lit(fpb)))
         result = result.repartition(
             max(len(affected), 1) * fpb, *parts
-        ).sortWithinPartitions(*KEY_COLS)
+        ).sortWithinPartitions("_bucket", *KEY_COLS)
         new_version = mani["version"] + 1
         rel_dir = f"data/v{new_version}"
         out_dir = os.path.join(self.path, rel_dir)
@@ -490,11 +490,23 @@ class LakeTable:
             if fpb > 1:
                 parts.append(F.pmod(F.xxhash64(F.col("path")), F.lit(fpb)))
             rows = rows.repartition(nb * fpb, *parts)
-        rows = rows.sortWithinPartitions(*KEY_COLS)
+            # leading _bucket keeps each bucket's rows contiguous so the
+            # dynamic-partition writer's own sort is elided (outputOrdering
+            # prefix match); (repo, path) next for deterministic file order
+            rows = rows.sortWithinPartitions("_bucket", *KEY_COLS)
+        # pre-partitioned input arrives sorted by (_bucket, _salt, repo, path)
+        # from the dedup window — already deterministic and bucket-contiguous;
+        # re-sorting here would add a full-width O(n log n) pass AND break
+        # bucket contiguity, forcing FileFormatWriter to insert its own sort
+        # (measured: two redundant sorts of content-heavy rows per epoch)
+
+        import time as _time
 
         new_version = mani["version"] + 1
         out_dir = os.path.join(self.path, f"data/v{new_version}")
+        _t0 = _time.monotonic()
         rows.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        _t1 = _time.monotonic()
 
         if pre_commit_check is not None and not pre_commit_check():
             # optimistic execution invalidated (e.g. renames observed in a
@@ -507,14 +519,19 @@ class LakeTable:
             return {"aborted": True, "epoch": epoch}
 
         new_files = self._scan_written(out_dir, mani["schema_version"])
+        _t2 = _time.monotonic()
         mani["files"] = mani["files"] + new_files
         mani["version"] = new_version
         if epoch is not None:
             mani["properties"]["hwm_epoch"] = epoch
         mani["properties"]["has_deltas"] = self._any_multi_file(mani["files"])
         self._commit_manifest(mani)
+        _t3 = _time.monotonic()
 
         stats = {
+            "t_write": round(_t1 - _t0, 3),
+            "t_scan": round(_t2 - _t1, 3),
+            "t_commit": round(_t3 - _t2, 3),
             "skipped": False,
             "epoch": -1 if epoch is None else epoch,
             "version": new_version,
@@ -525,6 +542,7 @@ class LakeTable:
             "per_bucket_rows": {fe["bucket"]: fe["rows"] for fe in new_files},
         }
         self._append_ledger(stats)
+        stats["t_ledger"] = round(_time.monotonic() - _t3, 3)
         return stats
 
     @staticmethod
@@ -637,9 +655,9 @@ class LakeTable:
         new_version = mani["version"] + 1
         rel_dir = f"data/v{new_version}-compact"
         out_dir = os.path.join(self.path, rel_dir)
-        df.repartition(len(todo), "_bucket").sortWithinPartitions(*KEY_COLS).write.partitionBy(
-            "_bucket"
-        ).mode("overwrite").parquet(out_dir)
+        df.repartition(len(todo), "_bucket").sortWithinPartitions(
+            "_bucket", *KEY_COLS
+        ).write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         new_files = self._scan_written(out_dir, mani["schema_version"])
         keep = [fe for fe in mani["files"] if int(fe["bucket"]) not in todo]
         mani["files"] = keep + new_files

@@ -167,44 +167,95 @@ def minhash_lsh_candidates(
     )
 
 
-# --- SimHash (vectorized pandas UDF) -----------------------------------------
+# --- SimHash ------------------------------------------------------------------
+#
+# 60-bit simhash. Token hash = first 15 hex chars of md5(token) (60 bits keeps
+# the value positive in a signed BIGINT on both engines, so the whole op has a
+# bit-identical DuckDB twin). Bit b of the simhash is set iff at least half of
+# the document's tokens have bit b set in their hash.
+
+SIMHASH_BITS = 60
+
+_TOKEN_HASH_SQL = (
+    "transform(split({col}, ' '), "
+    "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+)
+
+_SIMHASH_FOLD_SQL = (
+    f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), "
+    "(acc, b) -> acc + if("
+    "2 * size(filter({hs}, h -> shiftright(h, b) % 2 = 1)) >= size({hs}), "
+    "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+)
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit simhash per text — numpy bit math, no per-row Python loops
-    beyond the outer token arrays (hashing itself is vectorized md5-free:
-    we use a splitmix64-style integer mix over token byte sums for speed;
-    deterministic and documented, no oracle needed — rows-only check)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):  # outer loop over docs within Arrow batch
-        if not t:
-            continue
-        toks = np.array(t.split(" "), dtype=object)
-        # deterministic 64-bit token hash: python hash is salted -> use
-        # a stable FNV-1a over utf-8 bytes, vectorized via frombuffer
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for j, tok in enumerate(toks):
-            h = np.uint64(0xCBF29CE484222325)
-            for ch in tok.encode("utf-8"):
-                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hs[j] = h
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
-        out[i] = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-    return pd.Series(out.astype(np.int64))
+def simhash_expr(text_col: str):
+    """Whole-stage-codegen simhash: md5 token hashes + HOF bit vote, all JVM."""
+    hs = _TOKEN_HASH_SQL.format(col=text_col)
+    return F.expr(_SIMHASH_FOLD_SQL.format(hs=hs))
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    sim_udf = F.pandas_udf(_simhash_batch, LongType())
-    return df.select("doc_id", sim_udf(F.col(text_col)).alias("simhash"))
+def _simhash_vote_batch(hashes: pd.Series) -> pd.Series:
+    """Vectorized bit-vote over per-doc token-hash arrays (F10 pandas-UDF
+    path, proven equal to simhash_expr in tests/test_doc_ops.py).
+
+    No per-row Python: the Arrow list column is flattened to (values,
+    offsets) natively; per-bit sums use np.add.reduceat over the flat
+    array — the only Python loop is over the 60 constant bit positions."""
+    import pyarrow as pa
+
+    arr = pa.array(hashes, type=pa.list_(pa.int64()))
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    out = np.zeros(len(lens), dtype=np.int64)
+    nonempty = lens > 0
+    if flat.size:
+        starts = np.minimum(offs[:-1], flat.size - 1)
+        for b in range(SIMHASH_BITS):
+            col = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(col, starts)
+            bit = ((2 * sums >= lens) & nonempty).astype(np.int64)
+            out |= bit << b
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", impl: str = "expr") -> DataFrame:
+    """(doc_id, simhash). ``impl='expr'`` = pure JVM expressions (default,
+    oracle-matched); ``impl='pandas'`` = JVM md5 token hashes + Arrow numpy
+    bit-vote (the vectorized-UDF surface, byte-identical output)."""
+    if impl == "expr":
+        return df.select("doc_id", simhash_expr(text_col).alias("simhash"))
+    vote = F.pandas_udf(_simhash_vote_batch, LongType())
+    hs = F.expr(_TOKEN_HASH_SQL.format(col=text_col))
+    return df.select("doc_id", vote(hs).alias("simhash"))
+
+
+def simhash_duckdb_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of simhash_expr (bit-identical 60-bit values)."""
+    return f"""
+    WITH hs AS (
+      SELECT {id_col},
+             list_transform(string_split({text_col}, ' '),
+                t -> CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT))
+                 AS h
+      FROM {table}
+    )
+    SELECT {id_col},
+           CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
+             b -> CASE WHEN 2 * len(list_filter(h, x -> (x >> b) & 1 = 1))
+                            >= len(h)
+                       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT) AS simhash
+    FROM hs
+    """
 
 
 def simhash_dup_buckets(df: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """Near-dup buckets: docs sharing the top ``prefix_bits`` of simhash."""
     s = simhash(df)
-    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    bucket = F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - prefix_bits)
     return (
         s.withColumn("bucket", bucket)
         .groupBy("bucket")

@@ -5,18 +5,31 @@
   aggregate), no Python in the hot path; at scale this is one broadcast of
   the query vector + a map-side scan + TakeOrderedAndProject (no shuffle of
   the full table).
-- ``ivf_topk``: IVF-style scale path — restrict the scan to the query's
-  coarse partition (here the ``label`` column stands in for a centroid
-  assignment; with real data you'd k-means to get it). Partition pruning
-  turns a full-corpus scan into a 1/N_cells scan.
-- ``lsh_bucket_topk``: random-hyperplane LSH variant; hyperplane signs are
-  derived from md5 so buckets are deterministic.
+- ``kmeans_cells`` + ``ivf_topk``: real IVF — a deterministic k-means coarse
+  quantizer (fixed init = first k vectors, fixed Lloyd iterations, centroids
+  and distances rounded to 6dp so a DuckDB oracle reproduces the assignment
+  bit-for-bit), then scan only the query's cell. With the cell as a
+  partition column the filter becomes partition pruning — the 100 TB scan
+  shrinks by the cell count. At scale, train on a sample
+  (``df.sample(...)``) and persist the centroid table; assignment is a
+  map-side expression either way.
+- ``lsh_bucket_topk``: random-hyperplane LSH. The ±1 hyperplane matrix is
+  derived from md5 driver-side (numpy) and broadcast inside an Arrow
+  pandas_udf that buckets every vector with ONE matmul per batch — constant
+  expression-tree size at any dim (768, 4096, ...), unlike a per-plane
+  literal expression tree which blows Catalyst analysis past ~100 dims.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -57,52 +70,222 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def ivf_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    query_cell,
-    k: int = 10,
-    cell_col: str = "label",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF scale path: scan only the query's coarse cell, then exact rank.
+# --- IVF (k-means coarse quantizer) -------------------------------------------
 
-    With the cell as a partition column the filter becomes partition
-    pruning — the 100 TB scan shrinks by the cell count.
+
+def _round_half_away(x: float, nd: int = 6) -> float:
+    """Round half away from zero — matches SQL ROUND on doubles (Python's
+    built-in round is banker's and would diverge from the DuckDB twin)."""
+    m = 10.0**nd
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
+def _sq_dist_expr(vec_col: Column, centroid: np.ndarray) -> Column:
+    """Sequential-fold squared L2 to a literal centroid, rounded to 6dp.
+
+    aggregate() folds left-to-right, the same order as the DuckDB twin's
+    list_sum — plus the 6dp rounding both sides — makes the k-means
+    assignment reproducible across engines.
     """
-    return cosine_topk(
-        df.filter(F.col(cell_col) == F.lit(query_cell)), query_vec, k, id_col, vec_col
-    )
-
-
-def lsh_bucket(vec_col: Column, dim: int, planes: int = 8) -> Column:
-    """Deterministic random-hyperplane bucket id (md5-derived ±1 weights)."""
-    bucket = F.lit(0)
-    for p in range(planes):
-        # weight_j = +1 if md5(p:j) has even first hex digit else -1
-        terms = F.aggregate(
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.round(
+        F.aggregate(
             F.zip_with(
-                vec_col,
-                F.array(
-                    *[
-                        F.when(
-                            F.expr(
-                                f"conv(substring(md5('{p}:{j}'), 1, 1), 16, 10) % 2"
-                            )
-                            == 0,
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0))
-                        for j in range(dim)
-                    ]
-                ),
-                lambda x, w: x.cast("double") * w,
+                vec_col, c, lambda x, cv: (x.cast("double") - cv)
+                * (x.cast("double") - cv)
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _assign_expr(vec_col: Column, cents: list[tuple[int, np.ndarray]]) -> Column:
+    """cell id = centroid with min rounded distance, ties -> lowest cid."""
+    dists = F.array(*[_sq_dist_expr(vec_col, c) for _, c in cents])
+    idx = F.array_position(dists, F.array_min(dists))  # 1-based first min
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    return F.element_at(cids, idx.cast("int"))
+
+
+def kmeans_cells(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, np.ndarray]]]:
+    """Deterministic k-means: init = vectors with id < k, ``iters`` Lloyd
+    steps, centroids rounded to 6dp each step. Returns (df + 'cell' column,
+    final centroids). Assignment is a pure map-side JVM expression against
+    broadcast centroid literals — no shuffle of the vectors; each Lloyd step
+    is one partial-aggregated groupBy over (cell, dim) pairs."""
+    init = (
+        df.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = sorted(
+        (int(r[id_col]), np.array([float(x) for x in r[vec_col]]))
+        for r in init
+    )
+    cents = [(cid, v) for cid, v in cents]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = df.withColumn("cell", _assign_expr(F.col(vec_col), cents))
+        stats = (
+            assigned.select("cell", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("a"))
+            .collect()
         )
-        bucket = bucket + F.when(terms >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["i"])] = _round_half_away(
+                r["a"], 6
+            )
+        cents = [
+            (cid, np.array([d[i] for i in range(dim)]))
+            for cid, d in sorted(by_cell.items())
+        ]
+    return df.withColumn("cell", _assign_expr(F.col(vec_col), cents)), cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    iters: int = 2,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF scale path: k-means cell assignment, scan only the query's cell,
+    exact cosine rank inside it. Recall < 1 by construction (single-probe)."""
+    assigned, _ = kmeans_cells(df, k=n_cells, iters=iters, id_col=id_col,
+                               vec_col=vec_col)
+    qrow = assigned.filter(F.col(id_col) == query_id).select(
+        vec_col, "cell"
+    ).first()
+    return cosine_topk(
+        assigned.filter(F.col("cell") == int(qrow["cell"])),
+        [float(x) for x in qrow[vec_col]],
+        k, id_col, vec_col,
+    )
+
+
+def ivf_duckdb_sql(k: int = 8, iters: int = 2, query_id: int = 0,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """DuckDB twin of ivf_topk: same init, same Lloyd steps, same 6dp
+    rounding of centroids and distances, same lowest-cid tie-break."""
+    dist = (
+        "ROUND(list_sum(list_transform(range(1, len(e.{v}) + 1), "
+        "i -> (e.{v}[i]::DOUBLE - c.c[i]) * (e.{v}[i]::DOUBLE - c.c[i]))), 6)"
+    ).format(v=vec_col)
+    parts = [
+        f"""
+    WITH c0 AS (
+      SELECT {id_col} AS cid,
+             list_transform({vec_col}, x -> x::DOUBLE) AS c
+      FROM {table} WHERE {id_col} < {k}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(iters):
+        parts.append(f"""
+    , a{it} AS (
+      SELECT {id_col}, {vec_col}, cid AS cell FROM (
+        SELECT e.{id_col}, e.{vec_col}, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM {table} e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), c{it + 1} AS (
+      SELECT cell AS cid, list(ROUND(a, 6) ORDER BY i) AS c FROM (
+        SELECT cell, i, AVG(x) AS a FROM (
+          SELECT cell,
+                 unnest(range(1, len({vec_col}) + 1)) AS i,
+                 unnest(list_transform({vec_col}, v -> v::DOUBLE)) AS x
+          FROM a{it}
+        ) GROUP BY cell, i
+      ) GROUP BY cell
+    )""")
+        prev = f"c{it + 1}"
+    parts.append(f"""
+    , afin AS (
+      SELECT {id_col}, {vec_col}, cid AS cell FROM (
+        SELECT e.{id_col}, e.{vec_col}, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM {table} e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT {vec_col} AS qv, cell AS qcell FROM afin WHERE {id_col} = {query_id}
+    )
+    SELECT {id_col},
+           ROUND(
+             list_sum(list_transform(range(1, len({vec_col}) + 1),
+                      i -> {vec_col}[i]::DOUBLE * qv[i]::DOUBLE))
+             / (SQRT(list_sum(list_transform(range(1, len({vec_col}) + 1),
+                        i -> {vec_col}[i]::DOUBLE * {vec_col}[i]::DOUBLE)))
+                * SQRT(list_sum(list_transform(range(1, len(qv) + 1),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))),
+             5) AS cosine
+    FROM afin, q
+    WHERE cell = qcell
+    ORDER BY cosine DESC, {id_col} ASC LIMIT 10
+    """)
+    return "".join(parts)
+
+
+# --- random-hyperplane LSH -----------------------------------------------------
+
+
+def hyperplanes(dim: int, planes: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (planes x dim): +1 iff the first
+    hex digit of md5('p:j') is even. Computed once driver-side (numpy) and
+    shipped to executors inside the pandas_udf closure — O(planes*dim) bytes,
+    a broadcast-sized constant even at dim 4096."""
+    W = np.empty((planes, dim), dtype=np.float64)
+    for p in range(planes):
+        for j in range(dim):
+            W[p, j] = (
+                1.0
+                if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1.0
+            )
+    return W
+
+
+def lsh_bucket_udf(dim: int, planes: int = 8):
+    """Arrow pandas_udf: bucket id for every vector via one (batch x dim) @
+    (dim x planes) matmul — the scale path for real embedding dims where a
+    per-plane literal expression tree would explode Catalyst analysis."""
+    W = hyperplanes(dim, planes)
+    pw = (1 << np.arange(planes)).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def bucket(emb: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        arr = pa.array(emb)
+        flat = np.asarray(arr.values.to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        X = flat.reshape(len(emb), dim)
+        signs = (X @ W.T) >= 0.0
+        return pd.Series((signs @ pw).astype(np.int64))
+
     return bucket
+
+
+def lsh_query_bucket(query_vec: list[float], planes: int = 6) -> int:
+    """The query vector's bucket, same matmul driver-side."""
+    W = hyperplanes(len(query_vec), planes)
+    x = np.asarray(query_vec, dtype=np.float64)
+    signs = (W @ x) >= 0.0
+    return int((signs.astype(np.int64) << np.arange(planes)).sum())
 
 
 def lsh_bucket_topk(
@@ -117,18 +300,46 @@ def lsh_bucket_topk(
     """ANN: hash all vectors + the query into hyperplane-sign buckets, rank
     only the query's bucket. Recall < 1 by construction; used with
     multi-probe in practice."""
-    import hashlib
-
-    # compute the query's bucket driver-side with the same md5 weights
-    qb = 0
-    for p in range(planes):
-        s = 0.0
-        for j, x in enumerate(query_vec):
-            w = 1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
-            s += float(x) * w
-        if s >= 0:
-            qb |= 1 << p
-    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, planes))
-    return cosine_topk(
-        bucketed.filter(F.col("_bucket") == qb), query_vec, k, id_col, vec_col
+    qb = lsh_query_bucket(query_vec, planes)
+    bucketed = df.withColumn(
+        "_hbucket", lsh_bucket_udf(dim, planes)(F.col(vec_col))
     )
+    return cosine_topk(
+        bucketed.filter(F.col("_hbucket") == qb), query_vec, k, id_col, vec_col
+    )
+
+
+def lsh_duckdb_sql(planes: int = 6, query_id: int = 0,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """DuckDB twin of lsh_bucket_topk: same md5-derived ±1 weights, same
+    sign rule, cosine top-k inside the query's bucket."""
+    proj = (
+        "list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> {v}[i]::DOUBLE * (CASE WHEN ('0x' || substring(md5("
+        "'{p}:' || (i - 1)::VARCHAR), 1, 1))::UBIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END)))"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {proj.format(v=vec_col, p=p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, {vec_col}, ({bucket}) AS bkt FROM {table}
+    ), q AS (
+      SELECT {vec_col} AS qv, bkt AS qbkt FROM b WHERE {id_col} = {query_id}
+    )
+    SELECT {id_col},
+           ROUND(
+             list_sum(list_transform(range(1, len({vec_col}) + 1),
+                      i -> {vec_col}[i]::DOUBLE * qv[i]::DOUBLE))
+             / (SQRT(list_sum(list_transform(range(1, len({vec_col}) + 1),
+                        i -> {vec_col}[i]::DOUBLE * {vec_col}[i]::DOUBLE)))
+                * SQRT(list_sum(list_transform(range(1, len(qv) + 1),
+                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))),
+             5) AS cosine
+    FROM b, q
+    WHERE bkt = qbkt
+    ORDER BY cosine DESC, {id_col} ASC LIMIT 10
+    """

@@ -671,8 +671,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@q("dedup_simhash", "F2,S8,§2.10-udf")  # pandas-UDF path; rows-only check
+@q("dedup_simhash", "F2,F10,S8", dedup_docs.simhash_duckdb_sql())
 def dedup_simhash(spark, sf_dir):
+    """60-bit simhash, md5-derived token hashes — bit-identical DuckDB twin.
+    The vectorized pandas-UDF variant (impl='pandas') is proven equal in
+    tests/test_doc_ops.py."""
     d = _t(spark, sf_dir, "documents")
     return dedup_docs.simhash(d)
 
@@ -705,21 +708,19 @@ def sim_topk_cosine(spark, sf_dir):
     return similarity.cosine_topk(e, list(qv), k=10)
 
 
-@q(
-    "sim_ivf_topk",
-    "§sim-ivf,S4",
-    _COSINE_SQL.format(
-        where="WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)"
-    ),
-)
+@q("sim_ivf_topk", "§sim-ivf,S4", similarity.ivf_duckdb_sql(k=8, iters=2))
 def sim_ivf_topk(spark, sf_dir):
+    """Real IVF: deterministic k-means coarse quantizer (init = vec_id < 8,
+    2 Lloyd steps, 6dp rounding) -> scan only the query's cell. The DuckDB
+    twin re-trains the identical k-means and reproduces the assignment."""
     e = _t(spark, sf_dir, "embeddings")
-    row = e.filter(F.col("vec_id") == 0).select("embedding", "label").first()
-    return similarity.ivf_topk(e, list(row["embedding"]), row["label"], k=10)
+    return similarity.ivf_topk(e, k=10, n_cells=8, iters=2, query_id=0)
 
 
-@q("sim_lsh_bucket_topk", "§sim-lsh,J2")  # rows-only: bucket math not SQL-economical
+@q("sim_lsh_bucket_topk", "§sim-lsh,J2,F10", similarity.lsh_duckdb_sql(planes=6))
 def sim_lsh_bucket_topk(spark, sf_dir):
+    """Random-hyperplane LSH via one Arrow-batch matmul against the
+    broadcast md5-derived ±1 matrix (constant plan size at any dim)."""
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return similarity.lsh_bucket_topk(e, list(qv), dim=len(qv), k=10, planes=6)

@@ -79,6 +79,17 @@ def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
     assert (0, 2) not in pairs, "unrelated docs should not be candidates"
 
 
+def test_simhash_impls_identical(spark, docs_df):
+    """JVM-expression simhash == Arrow numpy bit-vote simhash, bit for bit."""
+    expr = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(docs_df).collect()}
+    pnd = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_docs.simhash(docs_df, impl="pandas").collect()
+    }
+    assert expr == pnd
+    assert all(0 <= v < (1 << dedup_docs.SIMHASH_BITS) for v in expr.values())
+
+
 def test_simhash_properties(spark, docs_df):
     got = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(docs_df).collect()}
     assert got[0] == got[3], "identical text -> identical simhash"
@@ -111,15 +122,25 @@ def test_cosine_topk_vs_bruteforce(spark):
     assert got[0][0] == 0 and got[0][1] == 1.0  # self-similarity
 
 
-def test_ivf_topk_subset_of_cell(spark):
+def test_ivf_kmeans_assignment_and_topk(spark):
     import numpy as np
 
     rng = np.random.default_rng(7)
     vecs = [(i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(40)]
     df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
-    got = similarity.ivf_topk(df, vecs[0][1], query_cell=0, k=5).collect()
-    assert all(r["vec_id"] % 3 == 0 for r in got)
-    assert got[0]["vec_id"] == 0
+    assigned, cents = similarity.kmeans_cells(df, k=4, iters=2)
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert set(cells.values()) <= {0, 1, 2, 3}
+    # assignment is the argmin of the rounded distances to final centroids
+    cdict = dict(cents)
+    for i, v, _ in vecs[:10]:
+        v32 = np.array(v, dtype=np.float32).astype(np.float64)
+        dists = {cid: round(float(((v32 - c) ** 2).sum()), 6) for cid, c in cdict.items()}
+        best = min(sorted(dists), key=lambda cid: (dists[cid], cid))
+        assert cells[i] == best
+    got = similarity.ivf_topk(df, k=5, n_cells=4, iters=2, query_id=0).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+    assert all(cells[r["vec_id"]] == cells[0] for r in got)
 
 
 def test_lsh_bucket_topk_contains_self(spark):
@@ -130,6 +151,38 @@ def test_lsh_bucket_topk_contains_self(spark):
     df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
     got = similarity.lsh_bucket_topk(df, vecs[0][1], dim=8, k=5, planes=4).collect()
     assert got and got[0]["vec_id"] == 0, "query's own vector shares its bucket"
+
+
+def test_lsh_high_dim_768(spark):
+    """The matmul pandas_udf path must work at real embedding dims (the old
+    per-plane literal expression tree blew up Catalyst past ~100 dims)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=768)
+    vecs = [(0, [float(x) for x in base])]
+    vecs += [
+        (i, [float(x) for x in base + rng.normal(scale=0.01, size=768)])
+        for i in range(1, 8)
+    ]
+    vecs += [
+        (i, [float(x) for x in rng.normal(size=768)]) for i in range(8, 64)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    got = similarity.lsh_bucket_topk(df, vecs[0][1], dim=768, k=8, planes=6).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0
+    # tiny perturbations land in the query's bucket and dominate top-k
+    assert len(set(ids) & set(range(8))) >= 6
+    # bucket ids agree between the executor matmul and the driver-side hash
+    b = df.withColumn(
+        "b", similarity.lsh_bucket_udf(768, 6)(df.embedding)
+    ).collect()
+    bmap = {r["vec_id"]: r["b"] for r in b}
+    for i, v in [(0, vecs[0][1]), (20, vecs[20][1])]:
+        assert bmap[i] == similarity.lsh_query_bucket(
+            [float(np.float32(x)) for x in v], planes=6
+        )
 
 
 def test_text_quality_and_langid(spark, docs_df):
