@@ -28,14 +28,23 @@ upserts, /root/reference/src/io/PostGISDataStore.ts:829-850):
 - **Tombstones**: deletes keep ``(key, ord, is_deleted=true)`` rows so stale
   duplicate deliveries can never resurrect a deleted/renamed-away row.
 
-Concurrency note: single-writer (the streaming driver). Multi-writer would
-add optimistic manifest CAS + retry, like Iceberg's commit protocol.
+Concurrency: optimistic multi-writer. A commit atomically claims the next
+manifest version via exclusive file creation (``O_CREAT|O_EXCL`` — the CAS);
+a loser gets ``CommitConflict``, reloads the latest manifest, rebases its
+file-list changes, and retries with jittered backoff — Iceberg's commit
+protocol on a filesystem catalog (reference precedent: deadlock retry with
+backoff, /root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:136-172).
+On object stores without atomic create-if-absent you swap this for a real
+catalog (Hive/Nessie/REST) CAS; the rebase logic is identical.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import random
+import time
 import uuid
 
 import pyarrow.parquet as pq
@@ -54,6 +63,11 @@ ENGINE_COLS = [
 ]
 KEY_COLS = ["repo", "path"]
 ORD_COLS = ["commit", "event_seq"]
+
+
+class CommitConflict(Exception):
+    """Another writer claimed this manifest version first (optimistic CAS
+    loss). Callers reload the latest manifest, rebase, and retry."""
 
 
 def bucket_expr(num_buckets: int):
@@ -118,6 +132,14 @@ class LakeTable:
             "files": [],
             "properties": {
                 "hwm_epoch": -1,
+                # epochs <= hwm that were never applied (late/missing binlog
+                # files). The file stream orders by mtime, not epoch number —
+                # without this set a late-landing epoch would be conflated
+                # with "already applied" and silently lost (ADVICE r1). The
+                # ord-gated LWW MERGE is order-independent, so a late epoch
+                # is applied when it finally arrives and converges to the
+                # same state.
+                "missing_below": [],
                 "next_field_id": 100 + len(payload_cols),
                 "merge_mode": merge_mode,
                 "has_deltas": False,
@@ -147,22 +169,105 @@ class LakeTable:
             return json.load(f)
 
     def _commit_manifest(self, manifest: dict) -> None:
-        v = manifest["version"]
+        """Atomically claim manifest version N (CAS via O_CREAT|O_EXCL) and
+        advance the _VERSION pointer monotonically. Raises CommitConflict if
+        another writer claimed N first — the caller rebases and retries."""
+        v = int(manifest["version"])
         mpath = os.path.join(self.path, "manifests", f"v{v}.json")
-        with open(mpath, "w") as f:
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise CommitConflict(f"manifest v{v} already committed") from None
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        tmp = os.path.join(self.path, f"_VERSION.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.path, "_VERSION"))  # atomic pointer swap
+        # pointer advance under a short flock so a slow loser can't regress
+        # the pointer below a newer winner's version
+        lock = os.path.join(self.path, "_VERSION.lock")
+        lf = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            vpath = os.path.join(self.path, "_VERSION")
+            cur = -1
+            if os.path.exists(vpath):
+                with open(vpath) as f:
+                    raw = f.read().strip()
+                    cur = int(raw) if raw else -1
+            if v > cur:
+                tmp = os.path.join(self.path, f"_VERSION.tmp.{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    f.write(str(v))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, vpath)  # atomic pointer swap
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+            os.close(lf)
+
+    def _latest_version(self) -> int:
+        """Authoritative latest version: max committed manifest file. Used on
+        the conflict path, where the pointer may lag the true latest."""
+        best = -1
+        for fn in os.listdir(os.path.join(self.path, "manifests")):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    best = max(best, int(fn[1:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    def _commit_with_rebase(self, mutate, max_retries: int = 20) -> dict:
+        """Optimistic-commit loop: load the latest manifest, apply ``mutate``
+        (which edits the manifest in place and may raise to abort), commit;
+        on CommitConflict, back off with jitter and retry on the new latest.
+
+        ``mutate(mani) -> bool`` returns False to abort (commit not needed).
+        Returns the committed (or last-loaded) manifest."""
+        for attempt in range(max_retries):
+            mani = self.manifest(self._latest_version())
+            if not mutate(mani):
+                return mani
+            mani["version"] = self._latest_version() + 1
+            try:
+                self._commit_manifest(mani)
+                return mani
+            except CommitConflict:
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        raise CommitConflict(f"gave up after {max_retries} retries")
 
     @property
     def hwm_epoch(self) -> int:
         return int(self.manifest()["properties"]["hwm_epoch"])
+
+    @property
+    def missing_epochs(self) -> list[int]:
+        """Epochs below the HWM that never arrived — non-empty means the feed
+        delivered out of epoch order (or dropped a file); alert on this."""
+        return list(self.manifest()["properties"].get("missing_below", []))
+
+    @staticmethod
+    def _epoch_applied(mani: dict, epoch: int) -> bool:
+        p = mani["properties"]
+        if epoch > int(p["hwm_epoch"]):
+            return False
+        return epoch not in set(p.get("missing_below", []))
+
+    def epoch_applied(self, epoch: int) -> bool:
+        """True iff this exact epoch was already applied (replay = no-op)."""
+        return self._epoch_applied(self.manifest(), epoch)
+
+    @staticmethod
+    def _mark_epoch_applied(mani: dict, epoch: int) -> None:
+        p = mani["properties"]
+        hwm = int(p["hwm_epoch"])
+        missing = set(p.get("missing_below", []))
+        if epoch > hwm:
+            missing.update(range(hwm + 1, epoch))
+            p["hwm_epoch"] = epoch
+        else:
+            missing.discard(epoch)
+        p["missing_below"] = sorted(missing)
 
     def current_schema(self, mani: dict | None = None) -> list[dict]:
         mani = mani or self.manifest()
@@ -282,22 +387,30 @@ class LakeTable:
 
     def add_column(self, name: str, dtype: str = "string",
                    src_key: str | None = None) -> bool:
-        """Metadata-only ADD COLUMN; no-op if a column of that name exists."""
-        mani = self.manifest()
-        if name in self.current_columns(mani):
-            return False
-        sv = mani["schema_version"] + 1
-        fid = mani["properties"]["next_field_id"]
-        cols = [dict(c) for c in self.current_schema(mani)]
-        cols.append(
-            {"id": fid, "name": name, "type": dtype, "src_key": src_key or name}
-        )
-        mani["schemas"][str(sv)] = cols
-        mani["schema_version"] = sv
-        mani["properties"]["next_field_id"] = fid + 1
-        mani["version"] += 1
-        self._commit_manifest(mani)
-        return True
+        """Metadata-only ADD COLUMN; no-op if a column of that name exists.
+        Commits via the optimistic rebase loop (safe under concurrent writers:
+        the mutation re-applies against the winner's manifest)."""
+        added = []
+
+        def mutate(mani: dict) -> bool:
+            added.clear()
+            if name in self.current_columns(mani):
+                return False
+            sv = mani["schema_version"] + 1
+            fid = mani["properties"]["next_field_id"]
+            cols = [dict(c) for c in self.current_schema(mani)]
+            cols.append(
+                {"id": fid, "name": name, "type": dtype,
+                 "src_key": src_key or name}
+            )
+            mani["schemas"][str(sv)] = cols
+            mani["schema_version"] = sv
+            mani["properties"]["next_field_id"] = fid + 1
+            added.append(name)
+            return True
+
+        self._commit_with_rebase(mutate)
+        return bool(added)
 
     def rename_column(self, old: str, new: str) -> bool:
         """Metadata-only RENAME COLUMN by field id (Iceberg semantics).
@@ -306,22 +419,27 @@ class LakeTable:
         re-binds by id, so sha-equality on evolved rows is preserved
         (SURVEY.md §7.3 risk 4).
         """
-        mani = self.manifest()
-        cur = self.current_schema(mani)
-        if old not in [c["name"] for c in cur]:
-            return False
-        sv = mani["schema_version"] + 1
-        cols = []
-        for c in cur:
-            c = dict(c)
-            if c["name"] == old:
-                c["name"] = new
-            cols.append(c)
-        mani["schemas"][str(sv)] = cols
-        mani["schema_version"] = sv
-        mani["version"] += 1
-        self._commit_manifest(mani)
-        return True
+        renamed = []
+
+        def mutate(mani: dict) -> bool:
+            renamed.clear()
+            cur = self.current_schema(mani)
+            if old not in [c["name"] for c in cur]:
+                return False
+            sv = mani["schema_version"] + 1
+            cols = []
+            for c in cur:
+                c = dict(c)
+                if c["name"] == old:
+                    c["name"] = new
+                cols.append(c)
+            mani["schemas"][str(sv)] = cols
+            mani["schema_version"] = sv
+            renamed.append(new)
+            return True
+
+        self._commit_with_rebase(mutate)
+        return bool(renamed)
 
     # ------------------------------------------------------------- MERGE
 
@@ -343,9 +461,9 @@ class LakeTable:
           - action newer + delete    -> tombstone with the delete's ord
         """
         mani = self.manifest()
-        hwm = int(mani["properties"]["hwm_epoch"])
-        if epoch is not None and epoch <= hwm:
-            return {"skipped": True, "epoch": epoch, "hwm_epoch": hwm}
+        if epoch is not None and self._epoch_applied(mani, epoch):
+            return {"skipped": True, "epoch": epoch,
+                    "hwm_epoch": int(mani["properties"]["hwm_epoch"])}
 
         nb = int(mani["num_buckets"])
         payload = self.payload_columns(mani)
@@ -361,6 +479,38 @@ class LakeTable:
             return self._merge_mor(actions, epoch, mani, files_per_bucket,
                                    pre_partitioned, pre_commit_check)
 
+        # CoW rewrites don't commute (a concurrent rewrite of the same bucket
+        # would be silently lost), so CoW writers serialize on an exclusive
+        # writer lock held across the read-modify-write; MOR appends use the
+        # optimistic CAS path instead (they commute and rebase trivially).
+        lf = os.open(os.path.join(self.path, "_WRITER.lock"),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            # reload under the lock: another CoW writer may have committed
+            # (and applied this very epoch) while we waited
+            mani = self.manifest(self._latest_version())
+            if epoch is not None and self._epoch_applied(mani, epoch):
+                return {"skipped": True, "epoch": epoch,
+                        "hwm_epoch": int(mani["properties"]["hwm_epoch"])}
+            payload = self.payload_columns(mani)
+            pay_types = {c["name"]: c["type"] for c in self.current_schema(mani)}
+            for col in payload:
+                if col not in actions.columns:
+                    actions = actions.withColumn(
+                        col, F.lit(None).cast(pay_types[col]))
+            return self._merge_cow_locked(
+                actions, epoch, mani, files_per_bucket, affected_buckets)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+            os.close(lf)
+
+    def _merge_cow_locked(self, actions: DataFrame, epoch: int | None,
+                          mani: dict, files_per_bucket: int,
+                          affected_buckets: list[int] | None) -> dict:
+        nb = int(mani["num_buckets"])
+        payload = self.payload_columns(mani)
+        pay_types = {c["name"]: c["type"] for c in self.current_schema(mani)}
         # affected buckets: use the caller's fused one-pass profile when
         # given (saves a job per epoch); otherwise probe, caching the action
         # batch so the Arrow normalize+sha stage doesn't run twice
@@ -426,21 +576,34 @@ class LakeTable:
             max(len(affected), 1) * fpb, *parts
         ).sortWithinPartitions("_bucket", *KEY_COLS)
         new_version = mani["version"] + 1
-        rel_dir = f"data/v{new_version}"
-        out_dir = os.path.join(self.path, rel_dir)
+        out_dir = os.path.join(self.path,
+                               f"data/v{new_version}-{uuid.uuid4().hex[:8]}")
         result.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         if persisted:
             act.unpersist()
 
         new_files = self._scan_written(out_dir, mani["schema_version"])
         affected_set = set(affected)
-        carried = [fe for fe in mani["files"] if int(fe["bucket"]) not in affected_set]
-        mani["files"] = carried + new_files
-        mani["version"] = new_version
-        if epoch is not None:
-            mani["properties"]["hwm_epoch"] = epoch
-        # atomic: data + schema + HWM commit together
-        self._commit_manifest(mani)
+        # atomic: data + schema + HWM commit together. Under the writer lock
+        # the only possible conflicts are metadata-only commits (add/rename
+        # column), which never touch files — rebase by recomputing the carry
+        # list on the winner's manifest and retrying.
+        for attempt in range(20):
+            carried = [fe for fe in mani["files"]
+                       if int(fe["bucket"]) not in affected_set]
+            mani["files"] = carried + new_files
+            mani["version"] = new_version
+            if epoch is not None:
+                self._mark_epoch_applied(mani, epoch)
+            try:
+                self._commit_manifest(mani)
+                break
+            except CommitConflict:
+                time.sleep(random.uniform(0.005, 0.03) * (attempt + 1))
+                mani = self.manifest(self._latest_version())
+                new_version = mani["version"] + 1
+        else:
+            raise CommitConflict("CoW commit: gave up after 20 retries")
 
         stats = {
             "skipped": False,
@@ -503,7 +666,11 @@ class LakeTable:
         import time as _time
 
         new_version = mani["version"] + 1
-        out_dir = os.path.join(self.path, f"data/v{new_version}")
+        # staging dir is uuid-suffixed: two racing writers must never share a
+        # staging path (mode=overwrite would silently delete the loser's
+        # files before its manifest entry lands)
+        out_dir = os.path.join(self.path,
+                               f"data/v{new_version}-{uuid.uuid4().hex[:8]}")
         _t0 = _time.monotonic()
         rows.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         _t1 = _time.monotonic()
@@ -520,12 +687,32 @@ class LakeTable:
 
         new_files = self._scan_written(out_dir, mani["schema_version"])
         _t2 = _time.monotonic()
-        mani["files"] = mani["files"] + new_files
-        mani["version"] = new_version
-        if epoch is not None:
-            mani["properties"]["hwm_epoch"] = epoch
-        mani["properties"]["has_deltas"] = self._any_multi_file(mani["files"])
-        self._commit_manifest(mani)
+        # optimistic CAS commit: delta appends commute, so a conflict rebases
+        # by re-appending our files onto the winner's manifest and retrying
+        # (jittered backoff, Iceberg commit protocol). The epoch gate is
+        # re-checked on the rebased manifest — if a racing writer applied the
+        # same epoch, our staged files are rolled back and we report skipped.
+        for attempt in range(20):
+            mani["files"] = mani["files"] + new_files
+            mani["version"] = new_version
+            if epoch is not None:
+                self._mark_epoch_applied(mani, epoch)
+            mani["properties"]["has_deltas"] = self._any_multi_file(mani["files"])
+            try:
+                self._commit_manifest(mani)
+                break
+            except CommitConflict:
+                time.sleep(random.uniform(0.005, 0.03) * (attempt + 1))
+                mani = self.manifest(self._latest_version())
+                if epoch is not None and self._epoch_applied(mani, epoch):
+                    import shutil as _shutil
+
+                    _shutil.rmtree(out_dir, ignore_errors=True)
+                    return {"skipped": True, "epoch": epoch,
+                            "hwm_epoch": int(mani["properties"]["hwm_epoch"])}
+                new_version = mani["version"] + 1
+        else:
+            raise CommitConflict("MOR commit: gave up after 20 retries")
         _t3 = _time.monotonic()
 
         stats = {
@@ -634,34 +821,100 @@ class LakeTable:
 
     # ------------------------------------------------------------- maintenance
 
-    def compact(self, target_files_per_bucket: int = 1) -> dict:
+    def compact(self, target_files_per_bucket: int = 1,
+                retention_epochs: int | None = None) -> dict:
         """Rewrite buckets whose file count exceeds the target, folding MOR
-        deltas to one LWW-resolved row per key. Tombstones are RETAINED
-        (they gate stale duplicate deliveries that may still arrive).
+        deltas to one LWW-resolved row per key, and fold the lineage ledger.
         Analog of Iceberg rewrite_data_files; reference deferred-index
-        precedent: /root/reference/src/clustering/services/DataLoader.ts:45-48."""
+        precedent: /root/reference/src/clustering/services/DataLoader.ts:45-48.
+
+        Tombstones are retained by default (they gate stale duplicate
+        deliveries that may still arrive). With ``retention_epochs=K``,
+        tombstones whose ``_epoch <= hwm - K`` are dropped — state GC for
+        the 10^10 regime where deletes would otherwise accumulate forever
+        (reference TTL-expiry precedent:
+        /root/reference/src/utils/PostgresCache.ts:227-232,380-398). The
+        contract: K epochs must exceed the source's maximum redelivery lag;
+        replays of *applied* epochs are already no-ops via the epoch gate
+        regardless, so only a brand-new epoch carrying an ancient stale
+        duplicate could resurrect a GC'd delete.
+
+        Commits via optimistic CAS keyed on the exact file set folded:
+        a concurrent MOR delta append rebase-retries cleanly (its new files
+        are carried, has_deltas recomputed)."""
         mani = self.manifest()
+        base_version = mani["version"]
+        hwm = int(mani["properties"]["hwm_epoch"])
         by_bucket: dict[int, list[dict]] = {}
         for fe in mani["files"]:
             by_bucket.setdefault(int(fe["bucket"]), []).append(fe)
-        todo = {b: fs for b, fs in by_bucket.items() if len(fs) > target_files_per_bucket}
+        if retention_epochs is not None:
+            # retention pass rewrites every non-empty bucket: old tombstones
+            # may hide in single-file buckets the file-count rule would skip
+            todo = dict(by_bucket)
+        else:
+            todo = {b: fs for b, fs in by_bucket.items()
+                    if len(fs) > target_files_per_bucket}
+        folded = self.fold_ledger()
         if not todo:
-            return {"compacted_buckets": 0}
+            return {"compacted_buckets": 0, "ledger_files_folded": folded}
+        folded_paths = {fe["path"] for fs in todo.values() for fe in fs}
         nb = int(mani["num_buckets"])
-        # read() applies the LWW window when deltas exist; keep tombstones
+        # read() applies the LWW window when deltas exist; pin the snapshot
+        # to base_version so the fold set matches folded_paths exactly
         df = self.read(
-            buckets=sorted(todo), include_deleted=True, with_engine_cols=True
+            buckets=sorted(todo), include_deleted=True, with_engine_cols=True,
+            version=base_version,
         ).withColumn("_bucket", bucket_expr(nb))
-        new_version = mani["version"] + 1
-        rel_dir = f"data/v{new_version}-compact"
-        out_dir = os.path.join(self.path, rel_dir)
+        horizon = None
+        if retention_epochs is not None:
+            horizon = hwm - int(retention_epochs)
+            df = df.filter(
+                ~(F.col("is_deleted") & (F.col("_epoch") <= F.lit(horizon)))
+            )
+        new_version = base_version + 1
+        out_dir = os.path.join(
+            self.path, f"data/v{new_version}-compact-{uuid.uuid4().hex[:8]}")
         df.repartition(len(todo), "_bucket").sortWithinPartitions(
             "_bucket", *KEY_COLS
         ).write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         new_files = self._scan_written(out_dir, mani["schema_version"])
-        keep = [fe for fe in mani["files"] if int(fe["bucket"]) not in todo]
-        mani["files"] = keep + new_files
-        mani["version"] = new_version
-        mani["properties"]["has_deltas"] = self._any_multi_file(mani["files"])
-        self._commit_manifest(mani)
-        return {"compacted_buckets": len(todo), "version": new_version}
+        for attempt in range(20):
+            keep = [fe for fe in mani["files"]
+                    if fe["path"] not in folded_paths]
+            mani["files"] = keep + new_files
+            mani["version"] = new_version
+            mani["properties"]["has_deltas"] = self._any_multi_file(mani["files"])
+            try:
+                self._commit_manifest(mani)
+                break
+            except CommitConflict:
+                time.sleep(random.uniform(0.005, 0.03) * (attempt + 1))
+                mani = self.manifest(self._latest_version())
+                new_version = mani["version"] + 1
+        else:
+            raise CommitConflict("compact: gave up after 20 retries")
+        return {"compacted_buckets": len(todo), "version": new_version,
+                "retention_horizon": horizon, "ledger_files_folded": folded}
+
+    def fold_ledger(self) -> int:
+        """Fold the one-file-per-epoch lineage ledger into a single file —
+        without this the ledger grows a file per epoch (millions at 10^10
+        scale). Concurrent appends are safe: only files present at scan time
+        are folded and removed. Returns the number of files folded."""
+        d = os.path.join(self.path, "_ledger")
+        if not os.path.exists(d):
+            return 0
+        files = sorted(fn for fn in os.listdir(d) if fn.endswith(".parquet"))
+        if len(files) <= 1:
+            return 0
+        import pyarrow as pa
+
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(d, fn)) for fn in files]
+        )
+        out = os.path.join(d, f"folded-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(merged, out)
+        for fn in files:
+            os.remove(os.path.join(d, fn))
+        return len(files)

@@ -78,7 +78,18 @@ def batch_profile(events: DataFrame, num_buckets: int) -> dict:
                 ),
             )
         ).alias("b2"),
+        F.min(F.length("commit")).alias("min_cw"),
+        F.max(F.length("commit")).alias("max_cw"),
     ).first()
+    if row["min_cw"] is not None and row["min_cw"] != row["max_cw"]:
+        # LWW compares `commit` lexicographically — only a total order for
+        # fixed-width monotone ids. Mixed widths silently corrupt LWW picks;
+        # fail loudly (ADVICE r1).
+        raise ValueError(
+            "ord contract violated: variable-width `commit` ids "
+            f"(len {row['min_cw']}..{row['max_cw']}); feed fixed-width "
+            "monotone commit ids (e.g. zero-padded sequence prefix)"
+        )
     return {
         "extra_keys": sorted(row["ek"] or []),
         "has_renames": bool(row["hr"]),
@@ -126,7 +137,8 @@ def lww_dedup(events: DataFrame, salt_buckets: int = 8) -> DataFrame:
     )
 
 
-def rename_components(renames: DataFrame, max_iters: int = 8) -> DataFrame:
+def rename_components(renames: DataFrame, max_iters: int = 12,
+                      max_edges_on_driver: int = 50_000) -> DataFrame:
     """Connected components of the in-epoch rename graph: (repo, path) ->
     component label. Iterative min-label propagation over the (small)
     rename edge set — the distributed analog of the reference's endpoint
@@ -145,9 +157,13 @@ def rename_components(renames: DataFrame, max_iters: int = 8) -> DataFrame:
 
     # hybrid: below the threshold a driver-side union-find is microseconds
     # and saves ~8 Spark jobs per rename epoch; the iterative-join loop
-    # below handles rename sets too large to collect (the 10^10 regime)
-    small = edges.limit(500_001).collect()
-    if len(small) <= 500_000:
+    # below handles rename sets too large to collect (the 10^10 regime).
+    # 50k edges ~ a few MB of driver heap — kept small on purpose so a
+    # pathological epoch (repo-wide `git mv`) can't blow the driver at
+    # exactly the moment it needs headroom.
+    threshold = int(max_edges_on_driver)
+    small = edges.limit(threshold + 1).collect() if threshold > 0 else []
+    if threshold > 0 and len(small) <= threshold:
         parent: dict = {}
 
         def find(x):
@@ -181,7 +197,14 @@ def rename_components(renames: DataFrame, max_iters: int = 8) -> DataFrame:
     both = edges.union(
         edges.select("repo", F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    # localCheckpoint: each round used to stack joins on the previous
+    # round's plan, so round k re-executed rounds 1..k-1 (quadratic
+    # re-compute) and the analysis tree grew without bound. Truncating
+    # lineage per round makes each round O(V+E) work on materialized input.
+    both = both.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
+        # 1-hop neighbor min-label pass
         neigh = (
             both.join(
                 labels.select(
@@ -195,17 +218,46 @@ def rename_components(renames: DataFrame, max_iters: int = 8) -> DataFrame:
         updated = labels.join(neigh, ["repo", "path"], "left").select(
             "repo", "path",
             F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                "new_label"
+                "label"
             ),
-            F.col("label"),
+            F.col("label").alias("_round_start"),
         )
-        n_changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        labels = updated.select(
-            "repo", "path", F.col("new_label").alias("label")
+        # pointer-jump pass (label(v) <- label(label(v))): labels are vertex
+        # keys "repo\x00path", so a self-join dereferences one more hop —
+        # together with the neighbor pass the reachable-min distance doubles
+        # per round, making an L-hop chain converge in O(log L) rounds
+        # instead of L (a 9-hop `git mv` chain: 4 rounds, not 9).
+        lrepo = F.split(F.col("label"), "\x00").getItem(0)
+        lpath = F.split(F.col("label"), "\x00").getItem(1)
+        jump = (
+            updated.withColumn("_lr", lrepo).withColumn("_lp", lpath)
+            .join(
+                updated.select(
+                    F.col("repo").alias("_lr"),
+                    F.col("path").alias("_lp"),
+                    F.col("label").alias("_ll"),
+                ),
+                ["_lr", "_lp"],
+                "left",
+            )
+            .select(
+                "repo", "path",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                ).alias("new_label"),
+                F.col("_round_start"),
+            )
         )
+        jump = jump.localCheckpoint(eager=True)
+        # converged only when NEITHER pass moved any label this round —
+        # comparing against the jump-pass input alone would break early on
+        # graphs where the neighbor pass still propagated (e.g. a chain
+        # whose in-use labels are all local minima)
+        n_changed = jump.filter(F.col("new_label") != F.col("_round_start")).count()
+        labels = jump.select("repo", "path", F.col("new_label").alias("label"))
         if n_changed == 0:
             break
-    return labels
+    return labels.select("repo", "path", "label")
 
 
 def _resolve_rename_groups(

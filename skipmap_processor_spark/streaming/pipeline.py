@@ -44,26 +44,6 @@ def _apply_ddl(lake: LakeTable, ddl: pd.DataFrame | None, epoch: int) -> list[st
     return applied
 
 
-def _auto_promote(lake: LakeTable, events: DataFrame) -> list[str]:
-    """Promote unseen ``extra_cols`` keys to typed columns (dynamic-JSON ->
-    typed promotion, /root/reference/src/io/PostGISDataStore.ts:800-827)."""
-    keys = [
-        r["k"]
-        for r in events.select(
-            F.explode(F.map_keys("extra_cols")).alias("k")
-        )
-        .distinct()
-        .collect()
-    ]
-    known_orig = set(lake.payload_name_map())
-    added = []
-    for k in sorted(keys):
-        if k not in known_orig:
-            lake.add_column(k, "string", src_key=k)
-            added.append(k)
-    return added
-
-
 def bootstrap_base(lake: LakeTable, base: DataFrame) -> dict:
     """Load the initial snapshot (base table) into an empty lake table.
 
@@ -92,9 +72,15 @@ def apply_epoch(
     salt_buckets: int = 8,
     sha_impl: str = "arrow",
 ) -> dict:
-    """Apply one epoch exactly once. Safe to call again for any epoch <= HWM."""
+    """Apply one epoch exactly once. Safe to call again for any applied epoch.
+
+    The gate distinguishes "already applied" from "older than the newest
+    applied": the file stream orders files by mtime, not epoch number, so a
+    late-landing epoch below the HWM is APPLIED (the ord-gated LWW merge is
+    order-independent) instead of silently dropped; a replay of an applied
+    epoch is a metadata-level no-op (exactly-once)."""
     t0 = time.monotonic()
-    if epoch <= lake.hwm_epoch:
+    if lake.epoch_applied(epoch):
         return {"skipped": True, "epoch": epoch, "hwm_epoch": lake.hwm_epoch}
     from skipmap_processor_spark.operators.dedup import (
         batch_profile,
@@ -133,11 +119,25 @@ def apply_epoch(
                     > 0
                 ).cast("long")
             ).alias("n_unknown_extras"),
+            # ord-contract probe: LWW compares `commit` lexicographically,
+            # which is only a total order for fixed-width ids (the binlog's
+            # zero-padded gseq prefix). Mixed widths (e.g. raw git hashes
+            # mixed with seq ids) would silently pick wrong LWW winners —
+            # fail loudly instead (ADVICE r1).
+            F.min(F.length("commit")).alias("min_cw"),
+            F.max(F.length("commit")).alias("max_cw"),
         )
         actions = prepare_actions_fast(ev_obs, lake, sha_impl=sha_impl)
 
         def valid() -> bool:
             m = obs.get
+            if m["min_cw"] is not None and m["min_cw"] != m["max_cw"]:
+                raise ValueError(
+                    "ord contract violated: variable-width `commit` ids "
+                    f"(len {m['min_cw']}..{m['max_cw']}) are not "
+                    "lexicographically ordered; feed a fixed-width monotone "
+                    "commit id (e.g. zero-padded sequence prefix)"
+                )
             return not m["n_renames"] and not m["n_unknown_extras"]
 
         stats = lake.merge_batch(

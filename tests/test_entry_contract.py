@@ -28,8 +28,9 @@ def test_oracle_keys_subset_of_queries():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 25
-    # only the documented non-SQL ops lack oracles
-    assert set(qs) - set(os_) == {"dedup_simhash", "sim_lsh_bucket_topk"}
+    # every registered query has a DuckDB oracle (r2: simhash + LSH gained
+    # md5-portable twins, closing the last two no-oracle gaps)
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", ["w1_lww_dedup", "f1_content_sha",
