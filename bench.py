@@ -39,6 +39,10 @@ def main() -> None:
         master=f"local[{cpus}]", shuffle_partitions=cpus, driver_memory="16g",
         app_name="bench",
     )
+    # ERROR-only logging: retried/cancelled-task WARN stack traces (benign
+    # under AQE/speculation) otherwise land in the bench tail and read like
+    # failures; real failures still surface via the errors field below
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JIT/codegen/Arrow-worker spin-up so per-query numbers reflect
     # steady state (first-shape execution costs 3-10x otherwise)
@@ -47,11 +51,15 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
 
     qsecs: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         t0 = time.monotonic()
-        # count() forces full execution without driver-side row transfer
-        fn(spark, sf_dir).count()
-        qsecs[name] = round(time.monotonic() - t0, 3)
+        try:
+            # count() forces full execution without driver-side row transfer
+            fn(spark, sf_dir).count()
+            qsecs[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # a failed query must be visible, not a
+            errors[name] = f"{type(e).__name__}: {e}"[:300]  # silent gap
 
     # CDC replay headline (reuses the live session's master/cpus): both
     # merge modes — MOR is the write-heavy scale path, CoW the read-optimal
@@ -74,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qsecs,
+                "errors": errors,
                 "sf": sf,
                 "cdc": cdc,
                 "cdc_cow": cdc_cow,

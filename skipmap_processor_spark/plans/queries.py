@@ -820,3 +820,169 @@ def text_token_stats(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.fingerprint_expr("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage fills: grouping-set rollup (A1), duration parse (F6),
+# arrays_overlap intersect (§2.7), multimodal decode (S17)
+# ---------------------------------------------------------------------------
+
+@q(
+    "a1b_grouping_rollup",
+    "A1 (multi-level rollup)",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           ROUND(SUM(l_extendedprice), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT)       AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a1b_grouping_rollup(spark, sf_dir):
+    """Two-level ROLLUP with subtotals and a grand total — the reference's
+    nested per-area/per-activity statistics plus overall totals
+    (/root/reference/src/statistics/SkiAreaStatistics.ts:42-215). rollup()
+    plans as a single Expand+HashAggregate: one shuffle for every level,
+    no per-level re-scan — the 100 TB-safe way to get subtotal cubes."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@q(
+    "f6_duration_parse",
+    "F6",
+    """
+    WITH durs AS (
+      SELECT o_orderpriority,
+             CAST(o_orderkey % 8 AS VARCHAR) || 'h '
+               || CAST(o_orderkey % 60 AS VARCHAR) || 'min' AS dur
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(regexp_extract(dur, '(\\d+)h', 1) AS BIGINT) * 3600
+                  + CAST(regexp_extract(dur, '(\\d+)min', 1) AS BIGINT) * 60)
+                AS BIGINT) AS total_secs,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM durs
+    GROUP BY o_orderpriority
+    """,
+)
+def f6_duration_parse(spark, sf_dir):
+    """Duration-string parse ('3h 25min' -> seconds), the reference's lift
+    duration formatter run in reverse
+    (/root/reference/src/transforms/LiftFormatter.ts:143-161). Pure JVM
+    regexp — whole-stage codegen, no UDF."""
+    o = _t(spark, sf_dir, "orders")
+    dur = F.concat(
+        (F.col("o_orderkey") % 8).cast("string"), F.lit("h "),
+        (F.col("o_orderkey") % 60).cast("string"), F.lit("min"),
+    )
+    secs = (
+        F.regexp_extract(dur, r"(\d+)h", 1).cast("bigint") * 3600
+        + F.regexp_extract(dur, r"(\d+)min", 1).cast("bigint") * 60
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(secs).cast("bigint").alias("total_secs"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@q(
+    "set_intersect_overlap",
+    "§2.7 intersect (arrays_overlap)",
+    """
+    SELECT lang,
+           CAST(SUM(CASE WHEN list_has_any(string_split(text, ' '),
+                                           ['the', 'and', 'of'])
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS BIGINT)                    AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def set_intersect_overlap(spark, sf_dir):
+    """Set-intersection predicate via arrays_overlap — the reference's
+    tag-array overlap filter
+    (/root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:509-517).
+    arrays_overlap short-circuits JVM-side; no explode, no shuffle beyond
+    the final agg."""
+    d = _t(spark, sf_dir, "documents")
+    hit = F.arrays_overlap(
+        F.split("text", " "), F.array(F.lit("the"), F.lit("and"), F.lit("of"))
+    )
+    return d.groupBy("lang").agg(
+        F.sum(hit.cast("bigint")).alias("n_overlap"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+
+
+@q(
+    "multimodal_decode",
+    "S17 (binary decode: PPM image + WAV audio)",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 END AS INTEGER)   AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 END AS INTEGER)   AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS INTEGER)
+                                                                  AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48 ELSE 12 END AS BIGINT)
+                                                                  AS n_units,
+           sha256(CASE WHEN doc_id % 2 = 0
+                       THEN md5('m' || CAST(doc_id AS VARCHAR) || ':0')
+                         || md5('m' || CAST(doc_id AS VARCHAR) || ':1')
+                         || md5('m' || CAST(doc_id AS VARCHAR) || ':2')
+                       ELSE substring(
+                            md5('m' || CAST(doc_id AS VARCHAR) || ':0')
+                         || md5('m' || CAST(doc_id AS VARCHAR) || ':1'),
+                            1, 48) END)                           AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """S17 made real: binary media payloads (PPM P6 images, RIFF/WAV PCM16
+    audio) synthesized JVM-side from md5 chains, decoded by the pure-numpy
+    kernels in an Arrow mapInPandas pass, and checksummed. The oracle
+    recomputes the sha from the source hex — any header mis-parse or byte
+    slip in the decoder breaks equality. Payload synthesis stays in
+    whole-stage codegen (md5/unhex/concat); only the decode itself is
+    Python, Arrow-batched. Reference precedent: satellite pixel extraction
+    (/root/reference/snow-cover/src/pixel_extractor.py:43-84)."""
+    from skipmap_processor_spark.operators.multimodal import (
+        decode_features,
+        encode_wav,
+    )
+    import numpy as np
+
+    d = _t(spark, sf_dir, "documents")
+    seed = F.col("doc_id").cast("string")
+    h = [F.md5(F.concat(F.lit("m"), seed, F.lit(f":{j}"))) for j in range(3)]
+    ppm_header = F.lit("P6\n4 4\n255\n".encode())
+    wav_header = F.lit(encode_wav(np.zeros(12, dtype=np.int16), 16000)[:44])
+    payload = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(ppm_header, F.unhex(F.concat(*h))),
+    ).otherwise(
+        F.concat(wav_header,
+                 F.unhex(F.substring(F.concat(h[0], h[1]), 1, 48))),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio")).alias("kind"),
+        payload.alias("payload"),
+    )
+    return decode_features(media)

@@ -210,7 +210,46 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.frame_sample(media, every_n=10).collect()
     vids = media.filter("kind='video'").count()
     assert len(frames) == vids * 3  # frames 0,10,20 of 30
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x00" * 10)
-    img = multimodal.decode_image(b"\x01" * 200, fake=True)
-    assert img.shape == (8, 8, 3)
+    with pytest.raises(NotImplementedError):  # compressed formats need Pillow
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_ppm_wav_codec_roundtrip():
+    """encode/decode are exact inverses on real payload bytes."""
+    import numpy as np
+
+    rng_bytes = bytes(range(256)) * 3
+    arr = np.frombuffer(rng_bytes[: 16 * 16 * 3], dtype=np.uint8).reshape(
+        16, 16, 3
+    )
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(arr)) == arr).all()
+    # header with a comment token still parses
+    with_comment = b"P6\n# synthetic\n16 16\n255\n" + arr.tobytes()
+    assert (multimodal.decode_ppm(with_comment) == arr).all()
+
+    samples = np.arange(-500, 500, 7, dtype=np.int16)
+    out, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 22050))
+    assert rate == 22050 and (out == samples).all()
+
+
+def test_multimodal_decode_features(spark):
+    """Distributed decode features match a local decode of the same table."""
+    import hashlib
+
+    media = multimodal.synth_media(spark, n=30).filter("kind != 'video'")
+    got = {r["media_id"]: r for r in multimodal.decode_features(media).collect()}
+    for row in media.collect():
+        r = got[row["media_id"]]
+        if row["kind"] == "image":
+            arr = multimodal.decode_ppm(bytes(row["payload"]))
+            assert (r["width"], r["height"], r["n_units"]) == (4, 4, 48)
+            raw = arr.tobytes()
+        else:
+            samples, rate = multimodal.decode_wav(bytes(row["payload"]))
+            assert r["sample_rate"] == rate == 16000
+            assert r["n_units"] == len(samples) == 12
+            raw = samples.tobytes()
+        assert r["payload_sha"] == hashlib.sha256(
+            raw.hex().encode()).hexdigest()
