@@ -61,6 +61,17 @@ def main() -> None:
         except Exception as e:  # a failed query must be visible, not a
             errors[name] = f"{type(e).__name__}: {e}"[:300]  # silent gap
 
+    # ANN quality evidence: recall@10 of the IVF-pruned search against the
+    # exact brute-force top-10 (the trade IVF makes at scale is cells
+    # scanned vs recall — report it, don't assume it)
+    try:
+        brute = {r["vec_id"] for r in QUERIES["sim_topk_cosine"](spark, sf_dir).collect()}
+        ivf = {r["vec_id"] for r in QUERIES["sim_ivf_topk"](spark, sf_dir).collect()}
+        ivf_recall_at_10 = round(len(brute & ivf) / max(len(brute), 1), 3)
+    except Exception as e:
+        errors["ivf_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
+        ivf_recall_at_10 = None
+
     # CDC replay headline (reuses the live session's master/cpus): both
     # merge modes — MOR is the write-heavy scale path, CoW the read-optimal
     cdc = cdc_run(
@@ -83,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": qsecs,
                 "errors": errors,
+                "ivf_recall_at_10": ivf_recall_at_10,
                 "sf": sf,
                 "cdc": cdc,
                 "cdc_cow": cdc_cow,

@@ -491,6 +491,23 @@ def prepare_actions(
             .union(renames.select("repo", F.col("new_path").alias("path")))
             .distinct()
         )
+        # guard: the per-component resolver replays its slice through the
+        # sequential oracle (interpreted Python, correctness-critical for
+        # interleaved rename chains). A pathological epoch (repo-wide
+        # `git mv` of a vendored tree) can balloon that slice — surface it
+        # loudly so operators see the degradation instead of a mystery-slow
+        # epoch. The job is cheap: aff_keys is a distinct over renames only.
+        n_aff = aff_keys.count()
+        if n_aff > 1_000_000:
+            import warnings
+
+            warnings.warn(
+                f"rename-affected key slice is {n_aff} keys; the sequential "
+                "per-component resolver will dominate this epoch — consider "
+                "splitting the rename burst across epochs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         ev_aff = ev.join(aff_keys, KEY_COLS, "left_semi")
         ev_rest = ev.join(aff_keys, KEY_COLS, "left_anti")
         seq_actions = _resolve_rename_groups(ev_aff, lake, aff_keys)

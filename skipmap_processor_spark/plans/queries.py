@@ -986,3 +986,86 @@ def multimodal_decode(spark, sf_dir):
         payload.alias("payload"),
     )
     return decode_features(media)
+
+
+@q(
+    "dedup_embedding_cosine",
+    "§dedup-embedding (cosine near-dup, sign-block LSH prefilter)",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> x::DOUBLE * 1.01)
+      FROM embeddings
+    ),
+    k AS (
+      SELECT vec_id, v,
+             (v[1] >= 0)::INT || (v[2] >= 0)::INT
+               || (v[3] >= 0)::INT || (v[4] >= 0)::INT AS blk
+      FROM base
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i] * b.v[i]))
+             / (SQRT(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * a.v[i])))
+                * SQRT(list_sum(list_transform(range(1, len(b.v) + 1),
+                        i -> b.v[i] * b.v[i])))),
+             5) AS cosine
+    FROM k a JOIN k b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i] * b.v[i]))
+             / (SQRT(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * a.v[i])))
+                * SQRT(list_sum(list_transform(range(1, len(b.v) + 1),
+                        i -> b.v[i] * b.v[i])))),
+             5) >= 0.999
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup, the 5th dedup family member: candidates
+    are blocked on a 4-bit axis-sign signature (an LSH prefilter both
+    engines compute identically — near-identical vectors share it, and at
+    scale more sign planes shrink blocks geometrically, keeping the
+    self-join linear-ish instead of all-pairs), then verified with the
+    exact cosine. The fixture has no natural near-dups (random 64-dim), so
+    the query synthesizes them: a scaled copy of every vector (scaling
+    preserves cosine exactly), making recall checkable — all 
+    original/copy pairs must surface. Reference dedup precedent:
+    in-batch keep-last + fuzzy clustering joins
+    (/root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:509-517)."""
+    from skipmap_processor_spark.operators.similarity import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select(F.col("vec_id"), as_double.alias("v")).unionAll(
+        e.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") * F.lit(1.01)
+            ).alias("v"),
+        )
+    )
+    blk = F.concat(
+        *[
+            (F.element_at("v", i) >= 0).cast("int").cast("string")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    k = base.withColumn("blk", blk)
+    a = k.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "blk"
+    )
+    b = k.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "blk"
+    )
+    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 5)
+    return pairs.select(
+        "a_id", "b_id", cos.alias("cosine")
+    ).filter(F.col("cosine") >= 0.999)
