@@ -34,8 +34,10 @@ def run_one(cpus: int, keys: int, events: int, epochs: int, mode: str,
         "--epochs", str(epochs), "--mode", mode,
         "--warmup-epochs", str(warmup), "--sha", sha,
     ]
+    # 3600s: first-ever invocation also generates the event log (~25 min
+    # single-core for 32M events; cached for every later run)
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
