@@ -33,14 +33,25 @@ def ensure_event_log(n_keys: int, n_events: int, n_epochs: int) -> str:
     sig = f"bulkc_k{n_keys}_e{n_events}_p{n_epochs}"
     outdir = os.path.join(DATA, "bench_events", sig)
     marker = os.path.join(outdir, "_COMPLETE")
-    if os.path.exists(marker):
+    if not os.path.exists(marker):
+        shutil.rmtree(outdir, ignore_errors=True)
+        generate_bulk_chunked(outdir, n_keys=n_keys, n_events=n_events,
+                              n_epochs=n_epochs)
+        with open(marker, "w") as f:
+            f.write("ok")
+    if os.environ.get("SKIPMAP_BENCH_INPUT_SHM", "1") != "1":
         return outdir
-    shutil.rmtree(outdir, ignore_errors=True)
-    generate_bulk_chunked(outdir, n_keys=n_keys, n_events=n_events,
-                          n_epochs=n_epochs)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return outdir
+    # Serve bench INPUT from tmpfs too: the sandbox's virtual disk burns
+    # system CPU and throttles under host congestion (measured: identical
+    # runs 15s vs 250s per epoch purely by input-read path). A real
+    # executor reads from distributed storage that scales with cluster
+    # size; disk-vs-tmpfs here is sandbox noise, not the modeled system.
+    shm = os.path.join("/dev/shm/skipmap_bench_inputs", sig)
+    shm_marker = os.path.join(shm, "_COMPLETE")
+    if not os.path.exists(shm_marker):
+        shutil.rmtree(shm, ignore_errors=True)
+        shutil.copytree(outdir, shm)
+    return shm
 
 
 def _proc_stat() -> tuple[float, float]:
@@ -57,6 +68,21 @@ def _proc_stat() -> tuple[float, float]:
     softirq = vals[6] if len(vals) > 6 else 0
     steal = vals[7] if len(vals) > 7 else 0
     return (user + nice + system + irq + softirq) / 100.0, steal / 100.0
+
+
+def _gc_flags(cpus: int) -> str:
+    """JVM GC flags per modeled core count; SKIPMAP_BENCH_GC overrides for
+    A/B runs (g1 | parallel | none)."""
+    mode = os.environ.get("SKIPMAP_BENCH_GC", "g1")
+    cci = f" -XX:CICompilerCount={max(2, min(cpus, 4))}"
+    if mode == "none":
+        return ""
+    if mode == "parallel":
+        return (f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus}" + cci)
+    return (
+        f"-XX:+UseG1GC -XX:ParallelGCThreads={cpus}"
+        f" -XX:ConcGCThreads={max(1, cpus // 4)}" + cci
+    )
 
 
 def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
@@ -92,14 +118,19 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
             # serial term that caps BOTH configs and kills the N->4N ratio.
             # 8MB splits give ~80 map tasks: >=2 waves at local[32], ~10 at
             # local[8] — identical job, parallelism-independent.
-            "spark.sql.files.maxPartitionBytes": "8388608",
+            # SKIPMAP_BENCH_SPLIT_MB overrides for A/B bisection.
+            "spark.sql.files.maxPartitionBytes": str(
+                int(os.environ.get("SKIPMAP_BENCH_SPLIT_MB", "8")) * 1024 * 1024
+            ),
             # Bound JVM service threads to the modeled core count: a local[8]
-            # JVM on a 32-core host otherwise runs ~23 ParallelGC threads,
+            # JVM on a 32-core host otherwise runs ~23 GC threads,
             # free-riding on cores a real 8-core executor would not have and
-            # inflating the small-N throughput.
-            "spark.driver.extraJavaOptions":
-                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus}"
-                f" -XX:CICompilerCount={max(2, min(cpus, 4))}",
+            # inflating the small-N throughput. Collector choice matters:
+            # UseParallelGC (the old choice here) full-GC'd the 64g heap
+            # repeatedly at local[32] — measured 4-13x CPU burn with
+            # escalating per-epoch times; G1 (JVM default) with bounded
+            # thread counts keeps fairness without the full-GC bomb.
+            "spark.driver.extraJavaOptions": _gc_flags(cpus),
         },
     )
     lake_dir = os.path.join(scratch, f"bench_lake_{cpus}")
