@@ -5,9 +5,9 @@
               (dedup / similarity / text analysis), each (spark, sf_dir) ->
               DataFrame; see skipmap_processor_spark/plans/queries.py for
               the §2 coverage map (COVERAGE dict).
-``oracle_sql`` — DuckDB twins; entries absent for the two ops whose hash
-              math is not SQL-economical (dedup_simhash, sim_lsh_bucket_topk
-              -> rows-only checks).
+``oracle_sql`` — DuckDB twins, one per query (every registered query is
+              hash-checked against DuckDB; the simhash/LSH hash math is
+              mirrored in SQL via md5-prefix families).
 """
 
 from __future__ import annotations

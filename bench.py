@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -31,7 +32,6 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    from bench.cdc_bench import run as cdc_run
     from skipmap_processor_spark.plans.queries import QUERIES
     from skipmap_processor_spark.session import get_spark
 
@@ -72,18 +72,45 @@ def main() -> None:
         errors["ivf_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
         ivf_recall_at_10 = None
 
-    # CDC replay headline (reuses the live session's master/cpus): both
-    # merge modes — MOR is the write-heavy scale path, CoW the read-optimal
-    cdc = cdc_run(
-        cpus=cpus, n_keys=300_000, n_events=1_000_000, n_epochs=4,
-        merge_mode="mor", compact_every=4, sha_impl="arrow",
-    )
-    qsecs["cdc_replay_1m_events_mor"] = cdc["wall_sec"]
-    cdc_cow = cdc_run(
-        cpus=cpus, n_keys=300_000, n_events=1_000_000, n_epochs=4,
-        merge_mode="cow", sha_impl="arrow",
-    )
-    qsecs["cdc_replay_1m_events_cow"] = cdc_cow["wall_sec"]
+    # CDC replay headline: both merge modes — MOR is the write-heavy scale
+    # path, CoW the read-optimal. Each replay runs in its OWN subprocess JVM
+    # (same invocation as bench/scaling.py): sharing one JVM across a
+    # SparkSession restart leaves the old context's PythonAccumulatorV2
+    # updates racing a closed socket — benign "Broken pipe" stack traces in
+    # the bench tail that read like failures. The query session is stopped
+    # first so the replay JVM gets the full memory budget; 1 untimed warmup
+    # epoch replaces the warmth the replay previously inherited in-process.
+    spark.stop()
+
+    def cdc_sub(mode: str) -> dict:
+        cmd = [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench", "cdc_bench.py"),
+            "--cpus", str(cpus), "--keys", "300000",
+            "--events", "1000000", "--epochs", "4", "--mode", mode,
+            "--sha", "arrow", "--warmup-epochs", "1",
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"cdc_bench rc={out.returncode}: {out.stderr[-300:]}")
+        return json.loads(lines[-1])
+
+    try:
+        cdc = cdc_sub("mor")
+        qsecs["cdc_replay_1m_events_mor"] = cdc["wall_sec"]
+    except Exception as e:
+        errors["cdc_replay_1m_events_mor"] = f"{type(e).__name__}: {e}"[:300]
+        cdc = None
+    try:
+        cdc_cow = cdc_sub("cow")
+        qsecs["cdc_replay_1m_events_cow"] = cdc_cow["wall_sec"]
+    except Exception as e:
+        errors["cdc_replay_1m_events_cow"] = f"{type(e).__name__}: {e}"[:300]
+        cdc_cow = None
 
     total = round(sum(qsecs.values()), 3)
     print(
