@@ -95,6 +95,10 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
     from skipmap_processor_spark.session import get_spark
     from skipmap_processor_spark.streaming.pipeline import apply_epoch
 
+    # slot multiplier for the fast-path (_bucket,_salt) shuffle (see
+    # shuffle_partitions comment below); bench default 2, explicit env wins
+    os.environ.setdefault("SKIPMAP_FPB_MULT", "2")
+
     events_dir = ensure_event_log(n_keys, n_events, n_epochs)
     # Bench scratch (shuffle dirs + lake) lives on tmpfs: the sandbox's
     # virtual disk throttles sustained writes to ~40 MB/s after a burst
@@ -108,7 +112,17 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
     # 4x the memory of an N-executor one — the sandbox stand-in mirrors that
     spark = get_spark(
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        # 4 waves of reduce tasks let the scheduler pack around slot-hash
+        # imbalance (balls-in-bins over (_bucket,_salt) slots) instead of
+        # eating it as a straggler tail; cluster-proportional, so the job
+        # stays identical-in-shape at N and 4N. With waves doing the
+        # balancing, the slot multiplier drops to 2 (fewer output files =
+        # less writer+compaction CPU — the 4N leg's per-event CPU penalty
+        # was mostly file-count-proportional). Measured at local[16], 32M
+        # events: 1x/4 483k ev/s -> 4x/4 717k -> 4x/2 911k steady.
+        # Both env vars overridable for A/B bisection.
+        shuffle_partitions=cpus * int(
+            os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")),
         driver_memory=f"{max(2 * cpus, 8)}g",
         app_name=f"cdc-bench-{cpus}",
         extra_conf={

@@ -111,7 +111,13 @@ def main() -> None:
     # sandbox VM) hits both equally; report the best steady rate per config
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
-    sig = f"n{args.n}_k{args.keys}_e{args.events}_p{args.epochs}_{args.mode}_{args.sha}"
+    # the shuffle-wave and slot multipliers change the measured job, so they
+    # are part of the protocol signature (history-best pairs must compare
+    # identical configurations)
+    smult = os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")
+    fmult = os.environ.get("SKIPMAP_FPB_MULT", "2")
+    sig = (f"n{args.n}_k{args.keys}_e{args.events}_p{args.epochs}"
+           f"_{args.mode}_{args.sha}_s{smult}f{fmult}")
 
     smalls, bigs = [], []
     for _ in range(args.reps):

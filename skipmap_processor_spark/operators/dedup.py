@@ -27,6 +27,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -407,7 +409,8 @@ def prepare_actions_fast(
     shuffle_parts = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    fpb = max(files_per_bucket, -(-4 * shuffle_parts // nb))
+    slot_mult = int(os.environ.get("SKIPMAP_FPB_MULT", "4"))
+    fpb = max(files_per_bucket, -(-slot_mult * shuffle_parts // nb))
     events = _with_map_extras(events)
     ev = events.select(
         *KEY_COLS, "commit", "event_seq", "op", "lang", "content", "extra_cols",
