@@ -54,6 +54,14 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _sql_arr(vals) -> str:
+    """Literal double array as ONE SQL string. Composing dim-sized literal
+    arrays out of F.lit()/F.array() Column objects costs a py4j round-trip
+    per element — ~10 s of driver time per action at 8 centroids x 64 dims
+    (measured); a single F.expr parse is milliseconds at any dim."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -62,10 +70,16 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _sql_arr(query_vec)
+    dot = (f"aggregate(zip_with({vec_col}, {q}, (x, y) -> "
+           "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)")
+    norm_v = (f"sqrt(aggregate(transform({vec_col}, x -> "
+              "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))")
+    norm_q = (f"sqrt(aggregate(transform({q}, x -> "
+              "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))")
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), 5).alias("cosine"),
+        F.expr(f"round({dot} / ({norm_v} * {norm_q}), 5)").alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -80,33 +94,37 @@ def _round_half_away(x: float, nd: int = 6) -> float:
     return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
 
 
-def _sq_dist_expr(vec_col: Column, centroid: np.ndarray) -> Column:
+def _round6(a: np.ndarray) -> np.ndarray:
+    """Vectorized half-away-from-zero 6dp round, matching SQL ROUND
+    (numpy's round is banker's and would diverge from the DuckDB twin)."""
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+
+def _sq_dist_sql(vec_col: str, centroid: np.ndarray) -> str:
     """Sequential-fold squared L2 to a literal centroid, rounded to 6dp.
 
     aggregate() folds left-to-right, the same order as the DuckDB twin's
     list_sum — plus the 6dp rounding both sides — makes the k-means
     assignment reproducible across engines.
     """
-    c = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.round(
-        F.aggregate(
-            F.zip_with(
-                vec_col, c, lambda x, cv: (x.cast("double") - cv)
-                * (x.cast("double") - cv)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    return (
+        f"round(aggregate(zip_with({vec_col}, {_sql_arr(centroid)}, "
+        "(x, cv) -> (CAST(x AS DOUBLE) - cv) * (CAST(x AS DOUBLE) - cv)), "
+        "0.0D, (acc, x) -> acc + x), 6)"
     )
 
 
-def _assign_expr(vec_col: Column, cents: list[tuple[int, np.ndarray]]) -> Column:
-    """cell id = centroid with min rounded distance, ties -> lowest cid."""
-    dists = F.array(*[_sq_dist_expr(vec_col, c) for _, c in cents])
-    idx = F.array_position(dists, F.array_min(dists))  # 1-based first min
-    cids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    return F.element_at(cids, idx.cast("int"))
+def _assign_expr(vec_col: str, cents: list[tuple[int, np.ndarray]]) -> Column:
+    """cell id = centroid with min rounded distance, ties -> lowest cid.
+
+    Built as one F.expr parse (see _sql_arr) — k x dim literals as Column
+    objects cost seconds of py4j driver time per action."""
+    dists = "array(" + ",".join(_sq_dist_sql(vec_col, c) for _, c in cents) + ")"
+    cids = "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    return F.expr(
+        f"element_at({cids}, "
+        f"CAST(array_position({dists}, array_min({dists})) AS INT))"
+    )
 
 
 def kmeans_cells(
@@ -115,41 +133,44 @@ def kmeans_cells(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_limit: int | None = None,
 ) -> tuple[DataFrame, list[tuple[int, np.ndarray]]]:
     """Deterministic k-means: init = vectors with id < k, ``iters`` Lloyd
     steps, centroids rounded to 6dp each step. Returns (df + 'cell' column,
-    final centroids). Assignment is a pure map-side JVM expression against
-    broadcast centroid literals — no shuffle of the vectors; each Lloyd step
-    is one partial-aggregated groupBy over (cell, dim) pairs."""
-    init = (
-        df.filter(F.col(id_col) < k)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cents = sorted(
-        (int(r[id_col]), np.array([float(x) for x in r[vec_col]]))
-        for r in init
-    )
-    cents = [(cid, v) for cid, v in cents]
-    dim = len(cents[0][1])
+    final centroids).
+
+    Training runs driver-side in numpy over ONE collect of (id, vector) —
+    bounded by ``train_limit`` (at 100 TB pass a sample/limit; the coarse
+    quantizer needs thousands of vectors, not all of them). The per-step
+    Spark-job alternative (assign + posexplode groupBy per Lloyd iteration)
+    costs 2 full scans + a shuffle per step — pure overhead when the
+    training set fits the driver. Distances and centroid means use the same
+    6dp half-away rounding as the DuckDB twin, so the assignment — applied
+    to the FULL table as a map-side JVM expression against broadcast
+    centroid literals, no shuffle — is reproducible bit-for-bit."""
+    sel = df.select(id_col, vec_col)
+    if train_limit is not None:
+        sel = sel.limit(train_limit)
+    rows = sel.collect()
+    ids = np.array([int(r[id_col]) for r in rows])
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    cents = [(int(i), X[j].copy()) for j, i in enumerate(ids) if i < k]
+
     for _ in range(iters):
-        assigned = df.withColumn("cell", _assign_expr(F.col(vec_col), cents))
-        stats = (
-            assigned.select("cell", F.posexplode(vec_col).alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg(F.avg(F.col("x").cast("double")).alias("a"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["i"])] = _round_half_away(
-                r["a"], 6
-            )
-        cents = [
-            (cid, np.array([d[i] for i in range(dim)]))
-            for cid, d in sorted(by_cell.items())
-        ]
-    return df.withColumn("cell", _assign_expr(F.col(vec_col), cents)), cents
+        C = np.stack([c for _, c in cents])  # (k, dim)
+        # sequential-fold vs vectorized summation differ at ~1e-15; the 6dp
+        # round absorbs it (same contract as the JVM/DuckDB expressions)
+        d = _round6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        assign = d.argmin(axis=1)  # first min = lowest cid (cents sorted)
+        new = []
+        for j, (cid, _) in enumerate(cents):
+            members = X[assign == j]
+            if len(members):  # empty cells drop, like the groupBy did
+                new.append((cid, _round6(members.mean(axis=0))))
+        cents = new
+    return df.withColumn("cell", _assign_expr(vec_col, cents)), cents
 
 
 def ivf_topk(
@@ -162,15 +183,23 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF scale path: k-means cell assignment, scan only the query's cell,
-    exact cosine rank inside it. Recall < 1 by construction (single-probe)."""
-    assigned, _ = kmeans_cells(df, k=n_cells, iters=iters, id_col=id_col,
-                               vec_col=vec_col)
-    qrow = assigned.filter(F.col(id_col) == query_id).select(
-        vec_col, "cell"
-    ).first()
+    exact cosine rank inside it. Recall < 1 by construction (single-probe).
+
+    The query vector's cell is assigned driver-side in numpy (same 6dp
+    rounded distance + lowest-cid tie-break as the JVM expression) so its
+    fetch is a plain pushdown point read — re-evaluating the full k×dim
+    assignment expression for one row cost more plan-compile time than the
+    whole scan."""
+    assigned, cents = kmeans_cells(df, k=n_cells, iters=iters, id_col=id_col,
+                                   vec_col=vec_col)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    qv = np.array([float(x) for x in qrow[vec_col]], dtype=np.float64)
+    C = np.stack([c for _, c in cents])
+    d = _round6(((qv[None, :] - C) ** 2).sum(axis=1))
+    qcell = cents[int(d.argmin())][0]
     return cosine_topk(
-        assigned.filter(F.col("cell") == int(qrow["cell"])),
-        [float(x) for x in qrow[vec_col]],
+        assigned.filter(F.col("cell") == int(qcell)),
+        [float(x) for x in qv],
         k, id_col, vec_col,
     )
 
