@@ -143,6 +143,21 @@ def test_ivf_kmeans_assignment_and_topk(spark):
     assert all(cells[r["vec_id"]] == cells[0] for r in got)
 
 
+def test_ivf_train_limit_sample_path(spark):
+    """The 100 TB path trains the coarse quantizer on a bounded sample;
+    assignment still covers every vector and ivf_topk stays well-formed."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], 0) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
+    assigned, cents = similarity.kmeans_cells(df, k=4, iters=2, train_limit=20)
+    assert 1 <= len(cents) <= 4
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert len(cells) == 60  # every vector assigned, trained or not
+    assert set(cells.values()) <= {cid for cid, _ in cents}
+
+
 def test_lsh_bucket_topk_contains_self(spark):
     import numpy as np
 
