@@ -105,32 +105,43 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
     return out
 
 
-def _hash_family_expr(k: int) -> str:
-    """Portable 32-bit hash of a shingle under family k (md5 prefix)."""
-    return (
-        f"cast(conv(substring(md5(concat(cast({k} as string), ':', shingle)), 1, 8), "
-        f"16, 10) as bigint)"
-    )
-
-
 def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 16) -> DataFrame:
-    """(doc_id, hidx, minhash) — min over shingles per md5 hash family."""
+    """(doc_id, hidx, minhash) — Kirsch-Mitzenmacher family over ONE md5.
+
+    One md5 per shingle yields two independent 32-bit halves (h1, h2);
+    family k is (h1 + k*h2) mod 2^32 — the standard two-hash construction,
+    portable to the DuckDB twin in exact integer arithmetic (max value
+    ~2^36, no BIGINT overflow on either engine). vs the old k-prefixed-md5
+    family: 1/16th the md5 calls, and the min per family aggregates as 16
+    COLUMNS per doc (map-side partial agg) instead of exploding 16 rows
+    per shingle through the shuffle — 16x less shuffle volume. The
+    (hidx, minhash) row shape unpivots AFTER aggregation, when it's one
+    row per doc."""
     sh = shingles(df, n)
-    hashed = sh.select(
+    hh = sh.select("doc_id", F.md5("shingle").alias("d")).select(
+        "doc_id",
+        F.expr("cast(conv(substring(d, 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(d, 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
+    mins = hh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"(h1 + {k} * h2) % 4294967296")).alias(f"m{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    return mins.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("hidx"),
-                        F.expr(_hash_family_expr(k)).alias("hv"),
+                        F.lit(k).alias("hidx"), F.col(f"m{k}").alias("minhash")
                     )
                     for k in range(num_hashes)
                 ]
             )
         ).alias("h"),
-    ).select("doc_id", F.col("h.hidx").alias("hidx"), F.col("h.hv").alias("hv"))
-    return hashed.groupBy("doc_id", "hidx").agg(F.min("hv").alias("minhash"))
+    ).select("doc_id", F.col("h.hidx").alias("hidx"), F.col("h.minhash").alias("minhash"))
 
 
 def minhash_lsh_candidates(

@@ -648,13 +648,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "J2,F2,S8",
     _SHINGLE_CTE
     + """
-    , hashed AS (
-      SELECT doc_id, h.hidx,
-             CAST(('0x' || substring(md5(CAST(h.hidx AS VARCHAR) || ':' || shingle),
-                                     1, 8))::UBIGINT AS BIGINT) AS hv
-      FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS hidx) h
+    , hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 8))::UBIGINT AS BIGINT) AS h1,
+             CAST(('0x' || substring(md5(shingle), 9, 8))::UBIGINT AS BIGINT) AS h2
+      FROM sh
     ), sig AS (
-      SELECT doc_id, hidx, MIN(hv) AS minhash FROM hashed GROUP BY doc_id, hidx
+      SELECT doc_id, h.hidx, MIN((h1 + h.hidx * h2) % 4294967296) AS minhash
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 16)) AS hidx) h
+      GROUP BY doc_id, h.hidx
     ), bands AS (
       SELECT doc_id, CAST(FLOOR(hidx / 4) AS INT) AS band,
              STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY hidx) AS sig
