@@ -69,13 +69,24 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
     before the self-join (skew guard: a stop-shingle in 1M docs would create
     10^12 join rows).
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    # One shingle set, computed once: the naive formulation (freq agg +
+    # join + sizes agg + self-join) re-derived the explode+distinct EIGHT
+    # times in the physical plan. The stop-shingle frequency and the
+    # per-doc kept-shingle count become windows over the same set, the
+    # result persists (spills to disk at scale), and the self-join's two
+    # sides read the cache. n_sh rides along to the pair aggregation, so
+    # no post-join size lookups are needed.
     sh = shingles(df, n)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
     sh = (
-        sh.join(freq.filter(F.col("df_freq") <= max_shingle_freq), "shingle")
-        .select("doc_id", "shingle")
+        sh.withColumn("df_freq", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df_freq") <= max_shingle_freq)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "shingle", "n_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -84,14 +95,14 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.col("a.n_sh")).alias("a_sh"),  # constant within group
+            F.min(F.col("b.n_sh")).alias("b_sh"),
+        )
     )
     out = (
-        common.join(sizes.withColumnRenamed("doc_id", "a_id")
-                    .withColumnRenamed("n_sh", "a_sh"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id")
-              .withColumnRenamed("n_sh", "b_sh"), "b_id")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
