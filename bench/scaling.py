@@ -191,8 +191,8 @@ windows win.
 
 | run | master | shuffle partitions | wall sec | events/sec | steady events/sec* | cpu sec | steal sec | events/cpu-sec |
 |---|---|---|---|---|---|---|---|---|
-| A | local[{args.n}] | {args.n} | {small['wall_sec']} | {small['events_per_sec']} | {small['steady_events_per_sec']} | {small['cpu_sec']} | {small['steal_sec']} | {small['events_per_cpu_sec']} |
-| B | local[{args.n * 4}] | {args.n * 4} | {big['wall_sec']} | {big['events_per_sec']} | {big['steady_events_per_sec']} | {big['cpu_sec']} | {big['steal_sec']} | {big['events_per_cpu_sec']} |
+| A | local[{args.n}] | {args.n * int(smult)} | {small['wall_sec']} | {small['events_per_sec']} | {small['steady_events_per_sec']} | {small['cpu_sec']} | {small['steal_sec']} | {small['events_per_cpu_sec']} |
+| B | local[{args.n * 4}] | {args.n * 4 * int(smult)} | {big['wall_sec']} | {big['events_per_sec']} | {big['steady_events_per_sec']} | {big['cpu_sec']} | {big['steal_sec']} | {big['events_per_cpu_sec']} |
 
 *steady = excluding the first epoch (JVM JIT + codegen + Python-worker
 warmup, identical for both runs and amortized to ~0 over a 10^10-event
