@@ -1041,8 +1041,6 @@ def dedup_embedding_cosine(spark, sf_dir):
     original/copy pairs must surface. Reference dedup precedent:
     in-batch keep-last + fuzzy clustering joins
     (/root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:509-517)."""
-    from skipmap_processor_spark.operators.similarity import cosine_expr
-
     e = _t(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select(F.col("vec_id"), as_double.alias("v")).unionAll(
@@ -1059,15 +1057,30 @@ def dedup_embedding_cosine(spark, sf_dir):
             for i in (1, 2, 3, 4)
         ]
     )
-    k = base.withColumn("blk", blk)
+    # norms are per-ROW quantities: computing them before the join does
+    # |base| folds instead of 2x|pairs| folds (pairs >> rows under any
+    # useful block size); only the dot product remains per-pair
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    k = base.withColumn("blk", blk).withColumn("nrm", nrm)
     a = k.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "blk"
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "blk",
     )
     b = k.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "blk"
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "blk",
     )
     pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
-    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 5)
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 5)
     return pairs.select(
         "a_id", "b_id", cos.alias("cosine")
     ).filter(F.col("cosine") >= 0.999)
