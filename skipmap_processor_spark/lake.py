@@ -875,7 +875,12 @@ class LakeTable:
         new_version = base_version + 1
         out_dir = os.path.join(
             self.path, f"data/v{new_version}-compact-{uuid.uuid4().hex[:8]}")
-        df.repartition(len(todo), "_bucket").sortWithinPartitions(
+        # repartitionByRange, not repartition: hashing B discrete bucket ids
+        # into B slots leaves ~1/e of tasks empty and piles 2-3 buckets on
+        # others — a straggler tail that caps compaction at ~1/3 of the
+        # cores. Range partitioning a discrete uniform key lands ~1 bucket
+        # per task, so compaction wall scales with cores.
+        df.repartitionByRange(len(todo), "_bucket").sortWithinPartitions(
             "_bucket", *KEY_COLS
         ).write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         new_files = self._scan_written(out_dir, mani["schema_version"])
