@@ -860,14 +860,37 @@ class LakeTable:
             return {"compacted_buckets": 0, "ledger_files_folded": folded}
         folded_paths = {fe["path"] for fs in todo.values() for fe in fs}
         nb = int(mani["num_buckets"])
-        # read() applies the LWW window when deltas exist; pin the snapshot
-        # to base_version so the fold set matches folded_paths exactly
-        df = self.read(
-            buckets=sorted(todo), include_deleted=True, with_engine_cols=True,
-            version=base_version,
-        ).withColumn("_bucket", bucket_expr(nb))
+        # Fused single-exchange fold (same trick as the ingest fast path):
+        # the naive read()+rewrite costs TWO exchanges and TWO sorts — the
+        # MOR read window shuffles+sorts by key to pick LWW winners, then
+        # the write repartitions+sorts by bucket. Here the ONLY exchange is
+        # the bucket-partitioned window whose sort (_bucket, key, ord desc)
+        # both marks each key's first (= winning) row via lag and leaves the
+        # data in exactly the layout the dynamic-partition writer needs, so
+        # its own sort is elided. Files are pinned to base_version so the
+        # fold set matches folded_paths exactly.
+        from pyspark.sql import Window
+
+        fold_files = [fe for fs in todo.values() for fe in fs]
+        df = self._read_files(mani, fold_files).withColumn(
+            "_bucket", bucket_expr(nb)
+        )
+        w = Window.partitionBy("_bucket").orderBy(
+            F.col("repo").asc(), F.col("path").asc(),
+            F.col("commit").desc(), F.col("event_seq").desc(),
+            F.col("_epoch").desc(),
+        )
+        key = F.concat_ws("\x00", *KEY_COLS)
+        prev = F.lag(key).over(w)
+        df = (
+            df.withColumn("_is_first", prev.isNull() | (prev != key))
+            .filter(F.col("_is_first"))
+            .drop("_is_first")
+        )
         horizon = None
         if retention_epochs is not None:
+            # AFTER winner selection: pre-filtering would let an older
+            # non-tombstone row win under a GC'd tombstone (resurrection)
             horizon = hwm - int(retention_epochs)
             df = df.filter(
                 ~(F.col("is_deleted") & (F.col("_epoch") <= F.lit(horizon)))
@@ -875,14 +898,7 @@ class LakeTable:
         new_version = base_version + 1
         out_dir = os.path.join(
             self.path, f"data/v{new_version}-compact-{uuid.uuid4().hex[:8]}")
-        # repartitionByRange, not repartition: hashing B discrete bucket ids
-        # into B slots leaves ~1/e of tasks empty and piles 2-3 buckets on
-        # others — a straggler tail that caps compaction at ~1/3 of the
-        # cores. Range partitioning a discrete uniform key lands ~1 bucket
-        # per task, so compaction wall scales with cores.
-        df.repartitionByRange(len(todo), "_bucket").sortWithinPartitions(
-            "_bucket", *KEY_COLS
-        ).write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         new_files = self._scan_written(out_dir, mani["schema_version"])
         for attempt in range(20):
             keep = [fe for fe in mani["files"]
