@@ -297,7 +297,29 @@ class LakeTable:
             )
         for sv, paths in sorted(by_sv.items()):
             old_cols = mani["schemas"][str(sv)]
-            df = self.spark.read.parquet(*paths)
+            # Collapse complete leaf directories to one path each: listing
+            # N explicit files costs ~2ms of driver time apiece (500 delta
+            # files ≈ 1.2s before any task runs — a core-count-independent
+            # Amdahl term on every MOR read and compaction). Commit dirs
+            # are uuid-named and immutable once the manifest references
+            # them, so "every parquet in the dir is in our read set" is a
+            # safe collapse test; any mismatch (concurrent in-flight dir,
+            # mixed schema versions) falls back to explicit files.
+            by_dir: dict[str, list[str]] = {}
+            for p in paths:
+                by_dir.setdefault(os.path.dirname(p), []).append(p)
+            read_paths: list[str] = []
+            for d, fs in by_dir.items():
+                try:
+                    on_disk = {fn for fn in os.listdir(d)
+                               if fn.endswith(".parquet")}
+                except OSError:
+                    on_disk = set()
+                if on_disk and on_disk == {os.path.basename(p) for p in fs}:
+                    read_paths.append(d)
+                else:
+                    read_paths.extend(fs)
+            df = self.spark.read.parquet(*read_paths)
             # rename by id: old name -> current name; drop ids gone from schema
             selects = []
             present_ids = set()
