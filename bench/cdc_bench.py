@@ -174,7 +174,40 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         shutil.rmtree(wdir, ignore_errors=True)
 
     detail = os.environ.get("SKIPMAP_BENCH_DETAIL") == "1"
+    import resource
+
+    def _tree_cpu() -> float:
+        """CPU seconds attributable to THIS bench only: utime+stime of the
+        live process tree rooted here (the local-mode JVM holds all
+        executor threads; Arrow workers are python children) plus reaped
+        children via getrusage. Immune to co-tenant and stray-process
+        pollution, unlike the system-wide /proc/stat number (kept
+        alongside for the steal ledger)."""
+        procs: dict[int, tuple[int, float]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+            except OSError:
+                continue
+            # post-comm fields: [0]=state, [1]=ppid, [11]=utime, [12]=stime
+            procs[int(pid)] = (int(parts[1]),
+                               (int(parts[11]) + int(parts[12])) / 100.0)
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack = 0.0, [os.getpid()]
+        while stack:
+            p = stack.pop()
+            total += procs.get(p, (0, 0.0))[1]
+            stack.extend(kids.get(p, []))
+        c = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return total + c.ru_utime + c.ru_stime
+
     cpu0, steal0 = _proc_stat()
+    pcpu0 = _tree_cpu()
     t0 = time.monotonic()
     per_epoch = []
     epoch_detail = []
@@ -197,6 +230,7 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
             compact_sec += time.monotonic() - tc
     wall = time.monotonic() - t0
     cpu1, steal1 = _proc_stat()
+    pcpu1 = _tree_cpu()
     final_rows = lake.read().count()
     spark.stop()
     shutil.rmtree(scratch, ignore_errors=True)
@@ -215,6 +249,8 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         "per_epoch_sec": per_epoch,
         "compact_sec": round(compact_sec, 3),
         "cpu_sec": round(cpu1 - cpu0, 1),
+        "proc_cpu_sec": round(pcpu1 - pcpu0, 1),
+        "events_per_proc_cpu_sec": round(n_events / max(pcpu1 - pcpu0, 1e-9), 1),
         "steal_sec": round(steal1 - steal0, 1),
         "events_per_cpu_sec": round(n_events / max(cpu1 - cpu0, 1e-9), 1),
         "final_rows": final_rows,
