@@ -25,6 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Round-2 post-mortem: a crashed scaling.py leaked 16 deadline-less
+    # steal-probe burners that spun at 100% CPU through the driver's entire
+    # round-2 bench (the "unexplained" 12x MOR-compaction blow-up). Kill any
+    # stragglers before measuring anything.
+    try:
+        from bench.scaling import kill_stray_probes
+
+        kill_stray_probes()
+    except Exception:
+        pass
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
@@ -113,21 +123,48 @@ def main() -> None:
         cdc_cow = None
 
     total = round(sum(qsecs.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_cdc_replay_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": qsecs,
-                "errors": errors,
-                "ivf_recall_at_10": ivf_recall_at_10,
-                "sf": sf,
-                "cdc": cdc,
-                "cdc_cow": cdc_cow,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_plus_cdc_replay_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qsecs,
+        "errors": errors,
+        "ivf_recall_at_10": ivf_recall_at_10,
+        "sf": sf,
+        "cdc": cdc,
+        "cdc_cow": cdc_cow,
+    }
+    # Full detail goes to a file; stdout gets a COMPACT final line. The
+    # driver records only the last 2000 chars of output — round 2's line
+    # outgrew that window and the head (metric/value) was cut, leaving the
+    # round with no machine-parseable headline ("parsed": null).
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "headline_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in qsecs.items()},
+        "n_errors": len(errors),
+        "ivf_recall_at_10": ivf_recall_at_10,
+        "sf": sf,
+        "cdc": {
+            "mor_events_per_sec": cdc and cdc["events_per_sec"],
+            "cow_events_per_sec": cdc_cow and cdc_cow["events_per_sec"],
+        },
+        "detail": "BENCH/headline_full.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard guarantee: never outgrow the capture window
+        compact["queries"] = {k: round(v, 1) for k, v in
+                              sorted(qsecs.items(),
+                                     key=lambda kv: -kv[1])[:40]}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,22 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# argv marker so stray probes are findable/killable by name. Round-2
+# post-mortem: 16 deadline-less burners leaked when the parent died
+# mid-probe and spun for 4.5 h at 100% CPU — they overlapped the driver's
+# round-2 bench and produced the "unexplained" 12x compaction blow-up and
+# ~800 CPU-s of non-process-tree burn in BENCH_r02. Burners now carry a
+# hard deadline (window + 30 s) so a killed parent can never leak spinners.
+_BURN_MARKER = "skipmap_steal_probe"
+
+
+def kill_stray_probes() -> int:
+    """Defensively kill leftover steal-probe burners from a crashed run."""
+    out = subprocess.run(["pkill", "-f", _BURN_MARKER],
+                         capture_output=True)
+    return out.returncode
+
+
 def _steal_fraction(window_s: float = 10.0, burn_threads: int = 16) -> float:
     """Hypervisor steal as a fraction of total CPU over a sampling window.
 
@@ -39,9 +55,12 @@ def _steal_fraction(window_s: float = 10.0, burn_threads: int = 16) -> float:
             vals = [int(x) for x in f.readline().split()[1:]]
         return sum(vals), vals[7] if len(vals) > 7 else 0
 
+    code = (f"# {_BURN_MARKER}\nimport time\n"
+            f"d = time.time() + {window_s} + 30\n"
+            "while time.time() < d:\n"
+            " for _ in range(100000): x = 1\n")
     burners = [
-        subprocess.Popen([sys.executable, "-c",
-                          "while True:\n x = 1"],
+        subprocess.Popen([sys.executable, "-c", code],
                          stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         for _ in range(burn_threads)
     ]
@@ -88,6 +107,7 @@ def run_one(cpus: int, keys: int, events: int, epochs: int, mode: str,
 
 
 def main() -> None:
+    kill_stray_probes()
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--keys", type=int, default=300_000)

@@ -12,6 +12,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _gc_flags(cpus: int, driver_memory: str) -> str:
+    """Collector policy by heap size (both sides measured on the CDC replay
+    bench):
+
+    - small heap (<= 16g): ParallelGC wins on raw throughput — 838k vs 781k
+      events/s steady at an 8-16g heap where full GCs are cheap.
+    - big heap (> 16g): ParallelGC full-GC'd a 64g heap repeatedly at
+      local[32] — 4-13x CPU burn with escalating per-epoch times; G1 with
+      thread counts bounded to the modeled core count keeps throughput
+      without the full-GC bomb.
+
+    Bounded GC/JIT threads either way: a local[8] JVM on a 32-core host
+    otherwise runs ~23 GC threads, free-riding on cores a real 8-core
+    executor would not have."""
+    try:
+        heap_gb = float(driver_memory.lower().rstrip("gb"))
+    except ValueError:
+        heap_gb = 8.0
+    cci = f" -XX:CICompilerCount={max(2, min(cpus, 4))}"
+    if heap_gb <= 16:
+        return f"-XX:+UseParallelGC -XX:ParallelGCThreads={cpus}" + cci
+    return (f"-XX:+UseG1GC -XX:ParallelGCThreads={cpus}"
+            f" -XX:ConcGCThreads={max(1, cpus // 4)}" + cci)
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "skipmap_processor_spark",
@@ -29,13 +54,14 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
+    # core count of THIS session's master (GC/JIT threads are bounded to it)
+    try:
+        inner = master.split("[", 1)[1].rstrip("]")
+        cpus = cpus if inner == "*" else int(inner)
+    except (IndexError, ValueError):
+        pass
     if shuffle_partitions is None:
-        # parse core count out of local[N]; fall back to cpus
-        try:
-            inner = master.split("[", 1)[1].rstrip("]")
-            shuffle_partitions = cpus if inner == "*" else int(inner)
-        except (IndexError, ValueError):
-            shuffle_partitions = cpus
+        shuffle_partitions = cpus
 
     builder = (
         SparkSession.builder.master(master)
@@ -56,9 +82,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
-        # single-JVM batch engine: ParallelGC beats G1 on throughput here
-        # (measured: 838k vs 781k events/s steady on the CDC replay bench)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.driver.extraJavaOptions", _gc_flags(cpus, driver_memory))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
