@@ -171,13 +171,28 @@ def main() -> None:
         if r.get("sig") != sig:
             continue
         (smalls if r["cpus"] == args.n else bigs).append(r)
-    small = max(smalls, key=lambda r: r["steady_events_per_sec"])
-    big = max(bigs, key=lambda r: r["steady_events_per_sec"])
+    # headline pair must carry the process-tree CPU counter on BOTH legs —
+    # the round-2 pair mixed a proc-counted A with a pre-counter B, making
+    # the compute-efficiency row unsubstantiated (VERDICT r2). Legs without
+    # it are kept in history but not eligible for the headline.
+    sm_ok = [r for r in smalls if "proc_cpu_sec" in r] or smalls
+    bg_ok = [r for r in bigs if "proc_cpu_sec" in r] or bigs
+    small = max(sm_ok, key=lambda r: r["steady_events_per_sec"])
+    big = max(bg_ok, key=lambda r: r["steady_events_per_sec"])
 
     eff_total = (big["events_per_sec"] / small["events_per_sec"]) / 4
     eff_steady = (
         big["steady_events_per_sec"] / small["steady_events_per_sec"]
     ) / 4
+    # anti-cherry-pick check: efficiency of the MEDIAN leg per config
+    import statistics
+
+    med_eff = None
+    if len(sm_ok) >= 2 and len(bg_ok) >= 2:
+        med_eff = (
+            statistics.median(r["steady_events_per_sec"] for r in bg_ok)
+            / statistics.median(r["steady_events_per_sec"] for r in sm_ok)
+        ) / 4
     # throttle-robust evidence: if per-event CPU cost is flat from N to 4N
     # threads, the job has no serial/contention pathology and the wall-clock
     # gap is hypervisor steal, not the engine. Prefer process-tree CPU
@@ -226,7 +241,8 @@ stream).
 **Scaling efficiency:**
 
 - wall-clock total: **{eff_total:.3f}**; wall-clock steady: **{eff_steady:.3f}**
-  (target >= 0.8)
+  (target >= 0.8); median-leg steady efficiency across history:
+  **{med_eff if med_eff is None else round(med_eff, 3)}**
 - **compute efficiency (CPU-sec/event_A ÷ CPU-sec/event_B): {eff_cpu:.3f}**
   — per-event CPU cost at 4N threads relative to N; 1.0 = no
   serial/contention pathology added by 4x parallelism
@@ -259,6 +275,7 @@ Raw JSON:
     print(json.dumps({"eff_total": round(eff_total, 3),
                       "eff_steady": round(eff_steady, 3),
                       "eff_cpu": round(eff_cpu, 3),
+                      "eff_median": med_eff and round(med_eff, 3),
                       "small": small, "big": big}))
 
 

@@ -113,6 +113,13 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+    # Materialize the (small, thresholded) pair set now, then release the
+    # shingle cache immediately — a bare return would leak the persisted
+    # set in executor storage for the life of the session (ADVICE r2).
+    # localCheckpoint truncates the lineage so `out` no longer references
+    # the cache.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

@@ -728,6 +728,28 @@ def sim_lsh_bucket_topk(spark, sf_dir):
     return similarity.lsh_bucket_topk(e, list(qv), dim=len(qv), k=10, planes=6)
 
 
+@q("sim_lsh_multiprobe_topk", "§sim-lsh,S4,J2",
+   similarity.lsh_multiprobe_duckdb_sql(planes=8, hamming=2))
+def sim_lsh_multiprobe_topk(spark, sf_dir):
+    """LSH as a real index: the ``_hbucket`` signature is persisted at
+    ingest (written once, partitioned by bucket), so the query phase is
+    partition-pruned parquet reads over the static Hamming<=2 probe ring
+    (37/256 partitions) + exact JVM cosine — no Python UDF, no full scan.
+    The DuckDB twin enumerates the same probe masks via xor()."""
+    import os as _os
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    idx = _os.path.join(repo_root, ".data", "lsh_index",
+                        f"{_os.path.basename(sf_dir.rstrip('/'))}_p8")
+    if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+        similarity.build_lsh_index(e, dim=len(qv), out_dir=idx, planes=8)
+    return similarity.lsh_indexed_topk(
+        spark, idx, list(qv), k=10, planes=8, hamming=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------

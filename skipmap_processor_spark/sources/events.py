@@ -427,10 +427,13 @@ def generate_bulk_chunked(
     n_epochs: int = 4,
     n_repos: int = 500,
     hot_share: float = 0.35,
+    epochs: list[int] | None = None,
 ) -> list[int]:
     """Epoch-at-a-time bulk generation + write: memory stays at one epoch's
     frame regardless of total size. Deterministic: the key->repo map is
-    seeded once, each epoch's draws are seeded (SEED, epoch)."""
+    seeded once, each epoch's draws are seeded (SEED, epoch) — so epochs can
+    be generated independently (``epochs`` selects a subset, letting a large
+    log be produced by parallel single-epoch workers)."""
     rng0 = np.random.default_rng(SEED)
     ranks = np.arange(1, n_repos + 1, dtype=float)
     zipf_p = (1.0 / ranks**1.2) / (1.0 / ranks**1.2).sum()
@@ -447,7 +450,7 @@ def generate_bulk_chunked(
 
     per_epoch = n_events // n_epochs
     written = []
-    for ep in range(n_epochs):
+    for ep in (epochs if epochs is not None else range(n_epochs)):
         rng = np.random.default_rng((SEED, ep))
         ev_key = rng.integers(0, n_keys, size=per_epoch)
         gseq = np.arange(

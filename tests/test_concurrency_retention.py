@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 import threading
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from skipmap_processor_spark.lake import LakeTable
@@ -143,6 +145,81 @@ def test_retention_compaction_drops_old_tombstones(spark, warehouse):
     # the epoch gate (not the tombstone) is what blocks replay of the
     # deleting epoch after GC — exactly-once survives retention
     assert lake.merge_batch(_mk_actions(spark, dels), epoch=1)["skipped"]
+
+
+def test_retention_capped_by_outstanding_missing_epoch(spark, warehouse):
+    """Retention GC must not drop a tombstone that could still gate an
+    outstanding (never-applied, below-HWM) epoch: the late epoch's stale
+    upsert would resurrect the deleted row (ADVICE r2). The horizon is
+    capped below min(missing) until the gap closes."""
+    lake = LakeTable.create(spark, os.path.join(warehouse, "retgap"),
+                            num_buckets=4, merge_mode="mor")
+    lake.merge_batch(
+        _mk_actions(spark, [("r1", "x.py", c(10), 0, "upsert", "go", "v", "s")]),
+        epoch=0)
+    # epoch 1 never arrives yet; epoch 2 deletes the key
+    lake.merge_batch(
+        _mk_actions(spark, [("r1", "x.py", c(20), 0, "delete", None, None,
+                             None)]), epoch=2)
+    for ep in range(3, 9):
+        lake.merge_batch(
+            _mk_actions(spark, [("r9", "y.py", c(ep * 10), 0, "upsert", "go",
+                                 f"v{ep}", "s")]), epoch=ep)
+    assert lake.missing_epochs == [1]
+
+    # horizon would be 8-2=6 (tombstone epoch 2 <= 6 -> dropped), but the
+    # outstanding epoch 1 caps it at 0 -> tombstone kept
+    res = lake.compact(retention_epochs=2)
+    assert res["retention_horizon"] == 0
+    assert lake.read(include_deleted=True).filter(
+        F.col("is_deleted")).count() == 1
+
+    # the late epoch finally lands with a STALE upsert for the deleted key:
+    # the surviving tombstone (newer ord) must win - no resurrection
+    lake.merge_batch(
+        _mk_actions(spark, [("r1", "x.py", c(15), 0, "upsert", "go", "zombie",
+                             "s")]), epoch=1)
+    assert lake.read().filter(F.col("path") == "x.py").count() == 0
+
+    # gap closed -> the next retention pass may really drop the tombstone
+    res2 = lake.compact(retention_epochs=2)
+    assert res2["retention_horizon"] == 6
+    assert lake.read(include_deleted=True).filter(
+        F.col("is_deleted")).count() == 0
+
+
+def test_missing_epochs_stored_as_intervals(spark, warehouse):
+    """A wide epoch gap costs ONE [start, end] pair in the manifest, not a
+    materialized list (sparse epoch spaces, ADVICE r2)."""
+    import json as _json
+
+    lake = LakeTable.create(spark, os.path.join(warehouse, "gaps"),
+                            num_buckets=4, merge_mode="mor")
+    lake.merge_batch(_mk_actions(spark, _rows_for_epoch(0)), epoch=0)
+    lake.merge_batch(
+        _mk_actions(spark, [("r1", "z.py", c(5), 0, "upsert", "go", "v", "s")]),
+        epoch=500_000)
+    mani_path = os.path.join(lake.path, "manifests",
+                             f"v{lake.manifest()['version']}.json")
+    assert os.path.getsize(mani_path) < 4096  # gap = one pair, not 500k ints
+    assert lake.missing_intervals() == [[1, 499_999]]
+    with pytest.raises(ValueError):
+        lake.missing_epochs  # too wide to expand - refuses, not OOMs
+    # epochs inside the gap still apply (late), outside are blocked
+    assert not lake.epoch_applied(123_456)
+    r = lake.merge_batch(
+        _mk_actions(spark, [("r2", "w.py", c(6), 0, "upsert", "go", "v", "s")]),
+        epoch=123_456)
+    assert not r["skipped"]
+    assert lake.missing_intervals() == [[1, 123_455], [123_457, 499_999]]
+    assert lake.epoch_applied(123_456)
+    # legacy flat-int manifests are read back as intervals
+    mani = lake.manifest()
+    legacy = _json.loads(_json.dumps(mani))
+    legacy["properties"]["missing_below"] = [3, 4, 5, 9]
+    legacy["version"] = mani["version"] + 1
+    lake._commit_manifest(legacy)
+    assert lake.missing_intervals() == [[3, 5], [9, 9]]
 
 
 def test_concurrent_schema_and_data_commits(spark, warehouse):

@@ -6,6 +6,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from skipmap_processor_spark.operators import (
     dedup_docs,
@@ -166,6 +167,47 @@ def test_lsh_bucket_topk_contains_self(spark):
     df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>, label int")
     got = similarity.lsh_bucket_topk(df, vecs[0][1], dim=8, k=5, planes=4).collect()
     assert got and got[0]["vec_id"] == 0, "query's own vector shares its bucket"
+
+
+def test_lsh_persisted_index_multiprobe(spark, tmp_path):
+    """Persisted-index query path: signatures are written once (partitioned
+    by _hbucket), the query reads only the Hamming<=2 probe ring, and
+    multi-probe recall@k strictly dominates single-bucket recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    vecs = [(0, [float(x) for x in base])]
+    vecs += [(i, [float(x) for x in base + rng.normal(scale=0.35, size=16)])
+             for i in range(1, 20)]
+    vecs += [(i, [float(x) for x in rng.normal(size=16)])
+             for i in range(20, 120)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    idx = str(tmp_path / "lsh_idx")
+    similarity.build_lsh_index(df, dim=16, out_dir=idx, planes=8)
+
+    qv = vecs[0][1]
+    brute = [r["vec_id"] for r in
+             similarity.cosine_topk(df, qv, k=10).collect()]
+    multi = [r["vec_id"] for r in similarity.lsh_indexed_topk(
+        spark, idx, qv, k=10, planes=8, hamming=2).collect()]
+    single = [r["vec_id"] for r in similarity.lsh_indexed_topk(
+        spark, idx, qv, k=10, planes=8, hamming=0).collect()]
+    assert multi[0] == 0
+    r_multi = len(set(brute) & set(multi)) / 10
+    r_single = len(set(brute) & set(single)) / 10
+    assert r_multi >= r_single
+    assert r_multi >= 0.5
+    # the probe set is the static Hamming ring around the query bucket
+    qb = similarity.lsh_query_bucket(
+        [float(np.float32(x)) for x in qv], planes=8)
+    ring = similarity.multiprobe_buckets(
+        [float(np.float32(x)) for x in qv], planes=8, hamming=2)
+    assert qb in ring and len(ring) == 1 + 8 + 28
+    # pruned read: only probed partitions are scanned
+    pruned = spark.read.parquet(idx).filter(
+        F.col("_hbucket").isin(ring))
+    assert "_hbucket" in pruned.columns
 
 
 def test_lsh_high_dim_768(spark):

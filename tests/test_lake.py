@@ -84,7 +84,7 @@ def test_bucket_pruning_carries_unaffected_files(spark, warehouse):
             for i in range(40)]
     t.merge_batch(_mk_actions(spark, rows), epoch=0)
     mani0 = t.manifest()
-    files0 = {fe["path"]: fe for fe in mani0["files"]}
+    files0 = {fe["path"]: fe for fe in t.file_entries(mani0)}
 
     # single-key epoch touches exactly one bucket
     one = _mk_actions(spark, [("r0", "p0.py", c(100), 0, "upsert", "go", "vx", "s")])
@@ -92,10 +92,10 @@ def test_bucket_pruning_carries_unaffected_files(spark, warehouse):
     st = t.merge_batch(one, epoch=1)
     assert st["affected_buckets"] == [b]
     mani1 = t.manifest()
-    carried = [fe for fe in mani1["files"] if fe["path"] in files0]
+    carried = [fe for fe in t.file_entries(mani1) if fe["path"] in files0]
     assert all(int(fe["bucket"]) != b for fe in carried)
     assert len(carried) == len(files0) - sum(
-        1 for fe in mani0["files"] if int(fe["bucket"]) == b
+        1 for fe in t.file_entries(mani0) if int(fe["bucket"]) == b
     )
     assert t.read().count() == 40
     assert t.read().filter("repo='r0'").first()["content"] == "vx"
@@ -170,13 +170,13 @@ def test_compact(spark, warehouse):
     rows = [(f"r{i}", f"p{i}.py", c(i + 1), 0, "upsert", "go", "v", "s")
             for i in range(30)]
     t.merge_batch(_mk_actions(spark, rows), epoch=0, files_per_bucket=3)
-    n_files_before = len(t.manifest()["files"])
+    n_files_before = len(t.file_entries())
     before = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
     res = t.compact(target_files_per_bucket=1)
     assert res["compacted_buckets"] >= 1
     after = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
     assert before == after
-    assert len(t.manifest()["files"]) <= n_files_before
+    assert len(t.file_entries()) <= n_files_before
 
 
 def test_lookup_bucket_pruned(spark, warehouse):

@@ -26,12 +26,12 @@ def test_mor_merge_appends_not_rewrites(spark, warehouse):
         _mk_actions(spark, [("r1", "a.py", c(1), 0, "upsert", "go", "v1", "s1")]),
         epoch=0,
     )
-    files0 = {fe["path"] for fe in t.manifest()["files"]}
+    files0 = {fe["path"] for fe in t.file_entries()}
     t.merge_batch(
         _mk_actions(spark, [("r1", "a.py", c(2), 0, "upsert", "go", "v2", "s2")]),
         epoch=1,
     )
-    files1 = {fe["path"] for fe in t.manifest()["files"]}
+    files1 = {fe["path"] for fe in t.file_entries()}
     assert files0 < files1, "MOR must append, never rewrite existing files"
     assert t.manifest()["properties"]["has_deltas"]
     # read resolves LWW
