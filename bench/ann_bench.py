@@ -1,0 +1,152 @@
+"""ANN index evidence at a scale where an index can matter.
+
+The driver's sf0.1 embeddings table (2,000 rows x dim 64, two parquet
+files) cannot demonstrate an index: any partitioned read costs more than
+brute-forcing the whole table, and its true top-10 neighbors sit at cosine
+0.31-0.41, where random-hyperplane signs agree per plane with p ~ 0.61 —
+an information-theoretic recall ceiling for ANY sub-linear Hamming-ring
+scan. (Per-plane agreement p = 1 - theta/pi; at cosine 0.95, p ~ 0.90 and
+a Hamming<=2 ring over 10 planes recovers ~93% — LSH is a NEAR-DUP index,
+not a weak-neighbor index.)
+
+This bench builds a deterministic synthetic corpus in the regime the
+operator is designed for — near-duplicate detection over a large corpus —
+and reports, for the same top-k query:
+
+- brute:   exact cosine over all rows (the baseline the index must beat)
+- lsh:     persisted _hbucket-partitioned index, static Hamming<=2 probes
+- ivf:     k-means cells, single-probe
+
+Usage: python bench/ann_bench.py [--rows 100000] [--dim 256]
+Prints one JSON line; BENCH/ANN.md records a committed run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED = 1234
+
+
+def make_corpus(out: str, rows: int, dim: int, n_dup_groups: int = 200,
+                dup_per_group: int = 12, dup_noise: float = 0.08) -> None:
+    """rows random unit vectors, the first n_dup_groups*dup_per_group of
+    which form near-dup clusters (cosine ~ 1 - dup_noise^2/2 ~ 0.95+):
+    the training-corpus dedup regime. Deterministic (seed fixed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    X = rng.normal(size=(rows, dim))
+    for g in range(n_dup_groups):
+        base = X[g * dup_per_group]
+        for j in range(1, dup_per_group):
+            X[g * dup_per_group + j] = (
+                base + dup_noise * rng.normal(size=dim)
+            )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = X.astype(np.float32)
+    os.makedirs(out, exist_ok=True)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(rows), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(X.reshape(-1)), dim).cast(pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"),
+                   row_group_size=16384)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--planes", type=int, default=10)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--query-id", type=int, default=0)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from skipmap_processor_spark.operators import similarity
+    from skipmap_processor_spark.session import get_spark
+
+    scratch = "/dev/shm/skipmap_ann"
+    corpus = os.path.join(scratch, f"corpus_r{args.rows}_d{args.dim}")
+    if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
+        shutil.rmtree(corpus, ignore_errors=True)
+        make_corpus(corpus, args.rows, args.dim)
+
+    spark = get_spark(master=f"local[{args.cpus}]",
+                      shuffle_partitions=args.cpus, driver_memory="8g",
+                      app_name="ann-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(os.path.join(corpus, "embeddings.parquet"))
+    qv = [float(x) for x in df.filter(F.col("vec_id") == args.query_id)
+          .first()["embedding"]]
+
+    # ingest-time index builds (amortized over every later query)
+    idx = os.path.join(scratch, f"lsh_r{args.rows}_d{args.dim}_p{args.planes}")
+    t0 = time.monotonic()
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        similarity.build_lsh_index(df, dim=args.dim, out_dir=idx,
+                                   planes=args.planes)
+    t_build = time.monotonic() - t0
+
+    def timed(fn, reps: int = 3):
+        best, rows = 1e9, None
+        for _ in range(reps):
+            t = time.monotonic()
+            rows = fn()
+            best = min(best, time.monotonic() - t)
+        return best, rows
+
+    # warmup JIT/codegen on an unrelated query id
+    similarity.cosine_topk(df, [float(x) for x in qv[::-1]], args.k).collect()
+
+    t_brute, r_brute = timed(
+        lambda: similarity.cosine_topk(df, qv, args.k).collect())
+    t_lsh, r_lsh = timed(
+        lambda: similarity.lsh_indexed_topk(
+            spark, idx, qv, k=args.k, planes=args.planes, hamming=2).collect())
+    # ivf_topk couples train+query in one call (that is the oracled query
+    # shape); train on a 4k sample here — at ingest a deployment trains
+    # once and persists the centroid table, so the query-phase cost is the
+    # cell scan alone
+    t_ivf, r_ivf = timed(
+        lambda: similarity.ivf_topk(df, k=args.k, n_cells=16, iters=1,
+                                    query_id=args.query_id,
+                                    train_limit=4096).collect())
+
+    brute_ids = [r["vec_id"] for r in r_brute]
+    out = {
+        "rows": args.rows,
+        "dim": args.dim,
+        "planes": args.planes,
+        "probed_buckets": len(similarity.probe_masks(args.planes, 2)),
+        "total_buckets": 1 << args.planes,
+        "build_sec": round(t_build, 3),
+        "brute_sec": round(t_brute, 3),
+        "lsh_query_sec": round(t_lsh, 3),
+        "ivf_query_sec": round(t_ivf, 3),
+        "lsh_speedup_vs_brute": round(t_brute / max(t_lsh, 1e-9), 2),
+        "lsh_recall_at_k": round(
+            len(set(brute_ids) & {r["vec_id"] for r in r_lsh}) / args.k, 3),
+        "ivf_recall_at_k": round(
+            len(set(brute_ids) & {r["vec_id"] for r in r_ivf}) / args.k, 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,8 @@ def _gc_flags(cpus: int) -> str:
 def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         num_buckets: int | None = None, salt_buckets: int = 8,
         sha_impl: str = "arrow", merge_mode: str = "cow",
-        compact_every: int = 4, warmup_epochs: int = 0) -> dict:
+        compact_every: int = 4, warmup_epochs: int = 0,
+        shuffle_partitions: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from skipmap_processor_spark.lake import LakeTable
@@ -121,7 +122,12 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         # was mostly file-count-proportional). Measured at local[16], 32M
         # events: 1x/4 483k ev/s -> 4x/4 717k -> 4x/2 911k steady.
         # Both env vars overridable for A/B bisection.
-        shuffle_partitions=cpus * int(
+        # An EXPLICIT shuffle_partitions pins the physical job layout
+        # (shuffle partition count, and through it the output file count)
+        # so two cluster sizes run the byte-identical job — like a real
+        # table whose bucket/file layout does not change when executors
+        # are added. Default remains cluster-proportional.
+        shuffle_partitions=shuffle_partitions or cpus * int(
             os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")),
         driver_memory=f"{max(2 * cpus, 8)}g",
         app_name=f"cdc-bench-{cpus}",
@@ -270,10 +276,13 @@ if __name__ == "__main__":
     ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-every", type=int, default=4)
     ap.add_argument("--warmup-epochs", type=int, default=0)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="pin the shuffle/file layout (identical job at "
+                         "any parallelism level); default cpus*mult")
     args = ap.parse_args()
     res = run(args.cpus, args.keys, args.events, args.epochs, args.buckets,
               args.salt, args.sha, args.mode, args.compact_every,
-              args.warmup_epochs)
+              args.warmup_epochs, args.shuffle_partitions)
     res["sha_impl"] = args.sha
     res["salt_buckets"] = args.salt
     print(json.dumps(res))

@@ -90,13 +90,15 @@ def wait_quiet(threshold: float = 0.02, window_s: float = 10.0,
 
 
 def run_one(cpus: int, keys: int, events: int, epochs: int, mode: str,
-            warmup: int, sha: str) -> dict:
+            warmup: int, sha: str, fixed_shuffle: int | None = None) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "bench", "cdc_bench.py"),
         "--cpus", str(cpus), "--keys", str(keys), "--events", str(events),
         "--epochs", str(epochs), "--mode", mode,
         "--warmup-epochs", str(warmup), "--sha", sha,
     ]
+    if fixed_shuffle:
+        cmd += ["--shuffle-partitions", str(fixed_shuffle)]
     # 3600s: first-ever invocation also generates the event log (~25 min
     # single-core for 32M events; cached for every later run)
     out = subprocess.run(
@@ -125,6 +127,13 @@ def main() -> None:
     ap.add_argument("--sha", choices=["arrow", "jvm"], default="jvm")
     ap.add_argument("--wait-quiet", action="store_true",
                     help="gate each run on a low-steal window (<2%% over 10s)")
+    # identical-job mode: pin the shuffle/file layout at BOTH cluster sizes
+    # (a real table's bucket & target-file layout is a property of the
+    # table, not of how many executors read it). Without this the default
+    # cluster-proportional partitioning gives the 4N leg 4x the reduce
+    # tasks and 4x the output files of the N leg - measurably more CPU per
+    # event, i.e. the two legs run different physical jobs.
+    ap.add_argument("--fixed-shuffle", type=int, default=None)
     args = ap.parse_args()
 
     # alternate configs across repetitions so transient host noise (shared
@@ -136,14 +145,16 @@ def main() -> None:
     # identical configurations)
     smult = os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")
     fmult = os.environ.get("SKIPMAP_FPB_MULT", "2")
+    layout = (f"sp{args.fixed_shuffle}" if args.fixed_shuffle
+              else f"s{smult}f{fmult}")
     sig = (f"n{args.n}_k{args.keys}_e{args.events}_p{args.epochs}"
-           f"_{args.mode}_{args.sha}_s{smult}f{fmult}")
+           f"_{args.mode}_{args.sha}_{layout}")
 
     smalls, bigs = [], []
     for _ in range(args.reps):
         pre = wait_quiet() if args.wait_quiet else None
         r = run_one(args.n, args.keys, args.events, args.epochs,
-                    args.mode, args.warmup, args.sha)
+                    args.mode, args.warmup, args.sha, args.fixed_shuffle)
         r["pre_steal_frac"] = pre
         r["sig"] = sig
         smalls.append(r)
@@ -151,7 +162,7 @@ def main() -> None:
             f.write(json.dumps(r) + "\n")
         pre = wait_quiet() if args.wait_quiet else None
         r = run_one(args.n * 4, args.keys, args.events, args.epochs,
-                    args.mode, args.warmup, args.sha)
+                    args.mode, args.warmup, args.sha, args.fixed_shuffle)
         r["pre_steal_frac"] = pre
         r["sig"] = sig
         bigs.append(r)
@@ -231,8 +242,8 @@ windows win.
 
 | run | master | shuffle partitions | wall sec | events/sec | steady events/sec* | proc cpu sec | steal sec (system) |
 |---|---|---|---|---|---|---|---|
-| A | local[{args.n}] | {args.n * int(smult)} | {small['wall_sec']} | {small['events_per_sec']} | {small['steady_events_per_sec']} | {small.get('proc_cpu_sec', small['cpu_sec'])} | {small['steal_sec']} |
-| B | local[{args.n * 4}] | {args.n * 4 * int(smult)} | {big['wall_sec']} | {big['events_per_sec']} | {big['steady_events_per_sec']} | {big.get('proc_cpu_sec', big['cpu_sec'])} | {big['steal_sec']} |
+| A | local[{args.n}] | {args.fixed_shuffle or args.n * int(smult)} | {small['wall_sec']} | {small['events_per_sec']} | {small['steady_events_per_sec']} | {small.get('proc_cpu_sec', small['cpu_sec'])} | {small['steal_sec']} |
+| B | local[{args.n * 4}] | {args.fixed_shuffle or args.n * 4 * int(smult)} | {big['wall_sec']} | {big['events_per_sec']} | {big['steady_events_per_sec']} | {big.get('proc_cpu_sec', big['cpu_sec'])} | {big['steal_sec']} |
 
 *steady = excluding the first epoch (JVM JIT + codegen + Python-worker
 warmup, identical for both runs and amortized to ~0 over a 10^10-event

@@ -262,6 +262,8 @@ class LakeTable:
         rel = os.path.join("manifests", f"s-{uuid.uuid4().hex}.json")
         with open(os.path.join(self.path, rel), "w") as f:
             json.dump(entries, f)
+            f.flush()
+            os.fsync(f.fileno())  # durable BEFORE any manifest references it
         bc: dict[str, int] = {}
         for fe in entries:
             b = str(int(fe["bucket"]))

