@@ -281,6 +281,41 @@ def simhash_duckdb_sql(table: str = "documents", text_col: str = "text",
     """
 
 
+def decontam_overlap(df: DataFrame, n: int = 5, threshold: float = 0.2,
+                     bench_mod: int = 97) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the fraction of its n-gram
+    shingles that appear anywhere in the benchmark set (here: doc_id %
+    bench_mod == 0 stands in for the held-out eval set). Docs at or above
+    ``threshold`` are contamination suspects to drop before training.
+
+    Scale shape: the benchmark shingle set is small (eval sets are) — the
+    distinct-shingle semi-join broadcasts; the corpus side is one explode +
+    two partial aggregations. No all-pairs anything."""
+    sh = shingles(df, n)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    corpus_sh = sh.filter(~is_bench)
+    tot = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hit = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_sh").cast("double"), 6
+            ).alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= threshold)
+    )
+
+
 def simhash_dup_buckets(df: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """Near-dup buckets: docs sharing the top ``prefix_bits`` of simhash."""
     s = simhash(df)

@@ -67,6 +67,34 @@ def quality_metrics(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to a regex dialect Java (Spark) and RE2-ish (DuckDB)
+# both accept: explicit classes, no lookaround, no \w shorthand.
+PII_PATTERNS = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"),
+    ("hex_secret", "[0-9a-fA-F]{32,}"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus PII scrub: emails, IPv4s, and long hex tokens
+    (API-key shaped) replaced with a type tag; per-doc redaction count and
+    the sha256 of the scrubbed text (so a pipeline can verify the scrub was
+    applied before any content-hash dedup). Pure JVM regexp — one codegen
+    stage, no shuffle."""
+    redacted = F.col(text_col)
+    n_hits = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        n_hits = n_hits + F.size(F.expr(
+            f"regexp_extract_all({text_col}, '{pat}', 0)"))
+        redacted = F.regexp_replace(redacted, pat, f"[{tag.upper()}]")
+    return df.select(
+        "doc_id",
+        n_hits.cast("bigint").alias("n_redactions"),
+        F.lower(F.sha2(redacted, 256)).alias("redacted_sha"),
+    )
+
+
 def fingerprint_expr(col: str = "text") -> Column:
     """Document fingerprint: sha256 of normalized text, first 16 hex chars
     (content-hash identity precedent:

@@ -847,6 +847,131 @@ def text_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 training-pipeline fills: PII scrub, benchmark decontamination,
+# deterministic split, stratified sampling
+# ---------------------------------------------------------------------------
+
+_PII_SQL_REDACT = "text"
+_PII_SQL_HITS = []
+for _tag, _pat in text.PII_PATTERNS:
+    _sq = _pat.replace("\\", "\\\\")
+    _PII_SQL_HITS.append(f"len(regexp_extract_all(text, '{_sq}'))")
+    _PII_SQL_REDACT = (f"regexp_replace({_PII_SQL_REDACT}, '{_sq}', "
+                       f"'[{_tag.upper()}]', 'g')")
+
+
+@q(
+    "text_pii_redact",
+    "§llm-pii,F1,P8",
+    f"""
+    SELECT doc_id,
+           CAST({' + '.join(_PII_SQL_HITS)} AS BIGINT) AS n_redactions,
+           lower(sha256({_PII_SQL_REDACT})) AS redacted_sha
+    FROM documents
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub (emails / IPv4 / API-key-shaped hex) with per-doc hit
+    count and scrubbed-text sha. Hit counts read the ORIGINAL text per
+    pattern; replacements apply in declaration order — the DuckDB twin
+    mirrors both. Planted-PII behavior unit-tested in tests/test_doc_ops."""
+    return text.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "decontam_overlap",
+    "§llm-decontam,J3,A5",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tok) - 1),
+                    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))
+               AS shingle
+      FROM tok WHERE len(tok) >= 3
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT * FROM sh WHERE doc_id % 97 <> 0
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id
+    ), hit AS (
+      SELECT doc_id, COUNT(*) AS n_overlap FROM corpus
+      WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_sh,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) / t.n_sh::DOUBLE, 6) AS overlap_frac
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    WHERE ROUND(COALESCE(h.n_overlap, 0) / t.n_sh::DOUBLE, 6) >= 0.05
+    """,
+)
+def decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 5% of their
+    3-gram shingles with the benchmark set (doc_id % 97 == 0 stand-in).
+    Benchmark shingles broadcast (eval sets are small); corpus side is one
+    explode + two partial aggs — no all-pairs."""
+    return dedup_docs.decontam_overlap(_t(spark, sf_dir, "documents"),
+                                       n=3, threshold=0.05, bench_mod=97)
+
+
+@q(
+    "split_train_test",
+    "§llm-split,F2,A5",
+    """
+    SELECT lang,
+           CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                     % 10 = 0
+                THEN 'test' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, split
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """Deterministic hash split: md5(doc_id) % 10 -> 10% test. Portable
+    (md5, not xxhash) so any engine reproduces the exact membership —
+    train/test contamination is an md5 recomputation away from detectable."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    return (
+        d.withColumn(
+            "split",
+            F.when(h % 10 == 0, F.lit("test")).otherwise(F.lit("train")),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+@q(
+    "sample_stratified",
+    "§llm-sample,W2",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic downsample: first 3 docs per (lang,
+    source) stratum by doc_id — the reproducible per-domain sampling a
+    corpus-mixing pipeline needs (row_number window, one shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-2 coverage fills: grouping-set rollup (A1), duration parse (F6),
 # arrays_overlap intersect (§2.7), multimodal decode (S17)
 # ---------------------------------------------------------------------------

@@ -310,3 +310,54 @@ def test_multimodal_decode_features(spark):
             raw = samples.tobytes()
         assert r["payload_sha"] == hashlib.sha256(
             raw.hex().encode()).hexdigest()
+
+
+def test_pii_redact_planted(spark):
+    docs = spark.createDataFrame(
+        [(0, "contact me at alice.smith+x@example.org for details"),
+         (1, "server at 192.168.10.255 rebooted"),
+         (2, "token deadbeefdeadbeefdeadbeefdeadbeef end"),
+         (3, "clean text with no secrets at all"),
+         (4, "a@b.io and 10.0.0.1 and " + "f" * 40)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.pii_redact(docs).collect()}
+    assert got[0]["n_redactions"] == 1
+    assert got[1]["n_redactions"] == 1
+    assert got[2]["n_redactions"] == 1
+    assert got[3]["n_redactions"] == 0
+    assert got[4]["n_redactions"] == 3
+    # scrubbed text hashes differ from raw for dirty docs, equal for clean
+    import hashlib as _h
+    raw3 = _h.sha256(b"clean text with no secrets at all").hexdigest()
+    assert got[3]["redacted_sha"] == raw3
+    raw0 = _h.sha256(
+        b"contact me at alice.smith+x@example.org for details").hexdigest()
+    assert got[0]["redacted_sha"] != raw0
+
+
+def test_decontam_overlap_flags_benchmark_copies(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, bench_text),                       # benchmark doc (0 % 5 == 0)
+         (1, bench_text),                       # verbatim copy -> flagged
+         (2, "alpha beta gamma nine ten eleven twelve thirteen"),  # partial
+         (3, "totally different words without any shared phrases here")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["overlap_frac"] for r in
+           dedup_docs.decontam_overlap(docs, n=3, threshold=0.0,
+                                       bench_mod=5).collect()}
+    assert got[1] == 1.0
+    assert 0 < got[2] < 1.0
+    assert got[3] == 0.0
+
+
+def test_split_train_test_deterministic(spark):
+    from skipmap_processor_spark.plans.queries import QUERIES
+
+    a = {(r["lang"], r["split"]): r["n_docs"] for r in
+         QUERIES["split_train_test"](spark, "/root/testdata/sf0.001").collect()}
+    b = {(r["lang"], r["split"]): r["n_docs"] for r in
+         QUERIES["split_train_test"](spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and sum(a.values()) > 0
+    test_n = sum(v for (lang, s), v in a.items() if s == "test")
+    assert 0 < test_n < sum(a.values()) / 2  # ~10% test split
