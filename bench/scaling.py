@@ -104,8 +104,15 @@ def run_one(cpus: int, keys: int, events: int, epochs: int, mode: str,
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if not lines:
+        # a leg's JVM can die under host memory/steal storms; record the
+        # loss and keep the campaign alive (the leg simply never competes)
+        print(f"# leg local[{cpus}] produced no output "
+              f"(rc={out.returncode}); skipping", file=sys.stderr, flush=True)
+        return None
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -155,19 +162,21 @@ def main() -> None:
         pre = wait_quiet() if args.wait_quiet else None
         r = run_one(args.n, args.keys, args.events, args.epochs,
                     args.mode, args.warmup, args.sha, args.fixed_shuffle)
-        r["pre_steal_frac"] = pre
-        r["sig"] = sig
-        smalls.append(r)
-        with open(hist_path, "a") as f:
-            f.write(json.dumps(r) + "\n")
+        if r is not None:
+            r["pre_steal_frac"] = pre
+            r["sig"] = sig
+            smalls.append(r)
+            with open(hist_path, "a") as f:
+                f.write(json.dumps(r) + "\n")
         pre = wait_quiet() if args.wait_quiet else None
         r = run_one(args.n * 4, args.keys, args.events, args.epochs,
                     args.mode, args.warmup, args.sha, args.fixed_shuffle)
-        r["pre_steal_frac"] = pre
-        r["sig"] = sig
-        bigs.append(r)
-        with open(hist_path, "a") as f:
-            f.write(json.dumps(r) + "\n")
+        if r is not None:
+            r["pre_steal_frac"] = pre
+            r["sig"] = sig
+            bigs.append(r)
+            with open(hist_path, "a") as f:
+                f.write(json.dumps(r) + "\n")
 
     # the shared-VM host degrades in hours-long windows (frequency capping /
     # co-tenancy shows up as inflated busy-CPU even at low steal), so the
