@@ -204,14 +204,19 @@ def main() -> None:
     eff_steady = (
         big["steady_events_per_sec"] / small["steady_events_per_sec"]
     ) / 4
-    # anti-cherry-pick check: efficiency of the MEDIAN leg per config
+    # anti-cherry-pick check: efficiency of the MEDIAN leg per config,
+    # over legs whose own steal ledger shows a quiet run (<= 30 s steal
+    # inside the run). Storm legs stay in history but a median over them
+    # measures the hypervisor, not the engine.
     import statistics
 
+    sm_clean = [r for r in sm_ok if r.get("steal_sec", 1e9) <= 30]
+    bg_clean = [r for r in bg_ok if r.get("steal_sec", 1e9) <= 30]
     med_eff = None
-    if len(sm_ok) >= 2 and len(bg_ok) >= 2:
+    if len(sm_clean) >= 2 and len(bg_clean) >= 2:
         med_eff = (
-            statistics.median(r["steady_events_per_sec"] for r in bg_ok)
-            / statistics.median(r["steady_events_per_sec"] for r in sm_ok)
+            statistics.median(r["steady_events_per_sec"] for r in bg_clean)
+            / statistics.median(r["steady_events_per_sec"] for r in sm_clean)
         ) / 4
     # throttle-robust evidence: if per-event CPU cost is flat from N to 4N
     # threads, the job has no serial/contention pathology and the wall-clock
@@ -261,8 +266,9 @@ stream).
 **Scaling efficiency:**
 
 - wall-clock total: **{eff_total:.3f}**; wall-clock steady: **{eff_steady:.3f}**
-  (target >= 0.8); median-leg steady efficiency across history:
-  **{med_eff if med_eff is None else round(med_eff, 3)}**
+  (target >= 0.8); median-CLEAN-leg steady efficiency
+  ({len(sm_clean)} quiet small / {len(bg_clean)} quiet big legs, in-run
+  steal <= 30 s): **{med_eff if med_eff is None else round(med_eff, 3)}**
 - **compute efficiency (CPU-sec/event_A ÷ CPU-sec/event_B): {eff_cpu:.3f}**
   — per-event CPU cost at 4N threads relative to N; 1.0 = no
   serial/contention pathology added by 4x parallelism
