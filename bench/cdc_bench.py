@@ -89,7 +89,8 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         num_buckets: int | None = None, salt_buckets: int = 8,
         sha_impl: str = "arrow", merge_mode: str = "cow",
         compact_every: int = 4, warmup_epochs: int = 0,
-        shuffle_partitions: int | None = None) -> dict:
+        shuffle_partitions: int | None = None,
+        events_dir: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from skipmap_processor_spark.lake import LakeTable
@@ -100,13 +101,17 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
     # shuffle_partitions comment below); bench default 2, explicit env wins
     os.environ.setdefault("SKIPMAP_FPB_MULT", "2")
 
-    events_dir = ensure_event_log(n_keys, n_events, n_epochs)
+    # an explicit events_dir (e.g. one shard of a pre-split log) bypasses
+    # generation; n_events must then be the actual row count of that dir
+    events_dir = events_dir or ensure_event_log(n_keys, n_events, n_epochs)
     # Bench scratch (shuffle dirs + lake) lives on tmpfs: the sandbox's
     # virtual disk throttles sustained writes to ~40 MB/s after a burst
     # (measured: 2 GB buffered write+sync 4s, 4s, 58s, 49s back-to-back),
     # which is an artifact of the shared VM, not of the modeled cluster
     # (executor-local NVMe scales with executor count). Inputs stay on disk.
-    scratch = "/dev/shm/skipmap_bench"
+    # pid-suffixed: concurrent bench JVMs (sharded-executor protocol) must
+    # not clobber each other's shuffle dirs and lakes
+    scratch = f"/dev/shm/skipmap_bench_{os.getpid()}"
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch, exist_ok=True)
     # memory per core held constant (2 GiB/core): a 4N-executor cluster has
@@ -279,10 +284,14 @@ if __name__ == "__main__":
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="pin the shuffle/file layout (identical job at "
                          "any parallelism level); default cpus*mult")
+    ap.add_argument("--events-dir", type=str, default=None,
+                    help="replay THIS event dir (e.g. one shard of a "
+                         "pre-split log) instead of generating; --events "
+                         "must be its actual row count")
     args = ap.parse_args()
     res = run(args.cpus, args.keys, args.events, args.epochs, args.buckets,
               args.salt, args.sha, args.mode, args.compact_every,
-              args.warmup_epochs, args.shuffle_partitions)
+              args.warmup_epochs, args.shuffle_partitions, args.events_dir)
     res["sha_impl"] = args.sha
     res["salt_buckets"] = args.salt
     print(json.dumps(res))
