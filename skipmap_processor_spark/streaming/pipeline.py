@@ -188,6 +188,48 @@ def replay_log(
     return out
 
 
+def epochs_from_source_log(checkpoint_dir: str,
+                           batch_id: int) -> list[int] | None:
+    """Epochs in a micro-batch, read from the checkpoint's FileStreamSource
+    log (the authoritative list of files the batch delivers, one JSON entry
+    per file tagged with its batchId) — a driver-side metadata read, no
+    Spark job. The foreachBatch DF is a LogicalRDD (no inputFiles
+    metadata), and a distinct().collect() would launch an extra job per
+    micro-batch (VERDICT r2). Returns None if the log or epoch= layout is
+    absent (caller falls back to the partition-column scan)."""
+    import glob
+    import json
+
+    d = os.path.join(checkpoint_dir, "sources", "0")
+    cands = [os.path.join(d, str(batch_id))]
+    # a compacted log folds earlier batch files into <K>.compact
+    cands += sorted(
+        (p for p in glob.glob(os.path.join(d, "*.compact"))
+         if int(os.path.basename(p).split(".")[0]) >= batch_id),
+        key=lambda p: int(os.path.basename(p).split(".")[0]),
+    )[:1]
+    for p in cands:
+        if not os.path.exists(p):
+            continue
+        eps: set[int] = set()
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                e = json.loads(line)
+                if int(e.get("batchId", -1)) != batch_id:
+                    continue
+                seg = [s for s in e.get("path", "").split("/")
+                       if s.startswith("epoch=")]
+                if not seg:
+                    return None  # layout has no epoch dirs; use the scan
+                eps.add(int(seg[-1].split("=", 1)[1]))
+        if eps:
+            return sorted(eps)
+    return None
+
+
 def run_stream(
     spark: SparkSession,
     lake: LakeTable,
@@ -214,49 +256,9 @@ def run_stream(
         .parquet(events_dir)
     )
 
-    def _epochs_from_source_log(batch_id: int) -> list[int] | None:
-        """Epochs in this micro-batch, read from the checkpoint's
-        FileStreamSource log (the authoritative list of files the batch
-        delivers, one JSON entry per file tagged with its batchId) — a
-        driver-side metadata read, no Spark job. The foreachBatch DF is a
-        LogicalRDD (no inputFiles metadata), and the previous
-        distinct().collect() launched an extra job per micro-batch
-        (VERDICT r2)."""
-        import glob
-        import json
-
-        d = os.path.join(checkpoint_dir, "sources", "0")
-        cands = [os.path.join(d, str(batch_id))]
-        # a compacted log folds earlier batch files into <K>.compact
-        cands += sorted(
-            (p for p in glob.glob(os.path.join(d, "*.compact"))
-             if int(os.path.basename(p).split(".")[0]) >= batch_id),
-            key=lambda p: int(os.path.basename(p).split(".")[0]),
-        )[:1]
-        for p in cands:
-            if not os.path.exists(p):
-                continue
-            eps: set[int] = set()
-            with open(p) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line.startswith("{"):
-                        continue
-                    e = json.loads(line)
-                    if int(e.get("batchId", -1)) != batch_id:
-                        continue
-                    seg = [s for s in e.get("path", "").split("/")
-                           if s.startswith("epoch=")]
-                    if not seg:
-                        return None  # layout has no epoch dirs; use the scan
-                    eps.add(int(seg[-1].split("=", 1)[1]))
-            if eps:
-                return sorted(eps)
-        return None
-
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         try:
-            epochs = _epochs_from_source_log(int(batch_id))
+            epochs = epochs_from_source_log(checkpoint_dir, int(batch_id))
         except Exception:
             epochs = None
         if epochs is None:  # fallback: partition-column scan (one job)
