@@ -188,6 +188,38 @@ def test_retention_capped_by_outstanding_missing_epoch(spark, warehouse):
         F.col("is_deleted")).count() == 0
 
 
+def test_nonzero_epoch_base_opens_no_gap(spark, warehouse):
+    """A feed whose epoch numbering starts above 0 (timestamp/offset epoch
+    spaces) must NOT record [0, first-1] as missing: that phantom gap never
+    closes, permanently pins the retention horizon at -1 (silently disabling
+    tombstone GC), and raises a false out-of-order alert (ADVICE r3). The
+    table's configured epoch_base bounds gap tracking from below."""
+    base = 1_700_000_000  # timestamp-shaped epoch
+    lake = LakeTable.create(spark, os.path.join(warehouse, "epochbase"),
+                            num_buckets=4, merge_mode="mor", epoch_base=base)
+    lake.merge_batch(_mk_actions(spark, _rows_for_epoch(0)), epoch=base)
+    assert lake.missing_intervals() == []
+    assert lake.hwm_epoch == base
+
+    # delete a key at base+1, advance to base+5: retention GC must actually
+    # run (horizon not pinned at -1 by a phantom [0, base-1] gap)
+    dels = [("r1", "f0.py", c(999), 0, "delete", None, None, None)]
+    lake.merge_batch(_mk_actions(spark, dels), epoch=base + 1)
+    for ep in range(base + 2, base + 6):
+        rows = [r for r in _rows_for_epoch(ep - base) if r[1] != "f0.py"]
+        lake.merge_batch(_mk_actions(spark, rows), epoch=ep)
+    assert lake.missing_intervals() == []
+    res = lake.compact(retention_epochs=2)
+    assert res["retention_horizon"] == base + 3
+    assert lake.read(include_deleted=True).filter(
+        F.col("is_deleted")).count() == 0  # tombstone GC'd, not disabled
+    # a genuine gap above the base still tracks
+    lake.merge_batch(
+        _mk_actions(spark, [("r2", "q.py", c(7), 0, "upsert", "go", "v",
+                             "s")]), epoch=base + 8)
+    assert lake.missing_intervals() == [[base + 6, base + 7]]
+
+
 def test_missing_epochs_stored_as_intervals(spark, warehouse):
     """A wide epoch gap costs ONE [start, end] pair in the manifest, not a
     materialized list (sparse epoch spaces, ADVICE r2)."""

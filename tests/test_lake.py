@@ -133,6 +133,53 @@ def test_schema_evolution_add_and_rename(spark, warehouse):
     assert got["r2"]["language"] == "rust" and got["r2"]["branch"] == "main"
 
 
+def test_schema_evolution_drop_and_readd(spark, warehouse):
+    """DROP COLUMN is metadata-only; re-ADD of the same name gets a NEW
+    field id, so values written under the dropped id never resurrect
+    (VERDICT r3 item 6)."""
+    import pytest
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "tdrop"),
+                         num_buckets=4, merge_mode="mor")
+    t.add_column("branch", "string")
+    acts = spark.createDataFrame(
+        [("r1", "a.py", c(1), 0, "upsert", "python", "v1", "s1", "main")],
+        "repo string, path string, commit string, event_seq bigint, "
+        "op string, lang string, content string, content_sha string, "
+        "branch string")
+    t.merge_batch(acts, epoch=0)
+    assert t.read().first()["branch"] == "main"
+    old_id = [col for col in t.current_schema()
+              if col["name"] == "branch"][0]["id"]
+
+    assert t.drop_column("branch")
+    assert not t.drop_column("branch")  # idempotent
+    assert "branch" not in t.read().columns
+    # data row survives, only the column is gone
+    assert t.read().first()["lang"] == "python"
+
+    # re-add the same name: fresh field id, old value does NOT come back
+    assert t.add_column("branch", "string")
+    new_id = [col for col in t.current_schema()
+              if col["name"] == "branch"][0]["id"]
+    assert new_id != old_id
+    assert t.read().first()["branch"] is None
+
+    # a write after the re-add binds to the new id
+    acts2 = spark.createDataFrame(
+        [("r2", "b.py", c(2), 0, "upsert", "go", "v2", "s2", "dev")],
+        "repo string, path string, commit string, event_seq bigint, "
+        "op string, lang string, content string, content_sha string, "
+        "branch string")
+    t.merge_batch(acts2, epoch=1)
+    got = {r["repo"]: r for r in t.read().collect()}
+    assert got["r1"]["branch"] is None and got["r2"]["branch"] == "dev"
+
+    # engine columns are protected
+    with pytest.raises(ValueError):
+        t.drop_column("repo")
+
+
 def test_atomic_version_pointer_and_time_travel(spark, warehouse):
     t = LakeTable.create(spark, os.path.join(warehouse, "t"), num_buckets=2)
     t.merge_batch(
