@@ -11,50 +11,80 @@ and misses; ONLY misses run the expensive enrichment (an Arrow-vectorized
 fn); the new rows append to the cache for the next run. For cheap derived
 values (sha256) recomputing beats the join — this is for the expensive
 tail: embeddings, model scores, geocoding-class lookups.
+
+Writes are fully distributed (``fresh.write.mode("append")``) — cache
+misses never funnel through the driver. Entries carry a ``_memo_ts``
+write timestamp; a configurable ``ttl_sec`` expires stale values on read
+(the reference's cache expiry: PostgresCache.ts:227-232), and ``fold()``
+compacts the append log to one latest-wins snapshot
+(PostgresCache.ts:380-398 sweep analog).
 """
 
 from __future__ import annotations
 
 import os
-import uuid
+import shutil
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_TS = "_memo_ts"
 
 
 class EnrichmentCache:
     """Keyed derived-value cache backed by a parquet directory.
 
     ``key_cols`` identify the unit of work; ``value_cols`` are the derived
-    outputs. Appends are atomic per-file (uuid names); duplicate keys from
-    racing runs are harmless — values are deterministic functions of keys,
-    and reads dedup with a max aggregation per key."""
+    outputs. Appends are atomic per-file (Spark part-file uuids); duplicate
+    keys from racing runs are harmless — reads keep the latest writer per
+    key (max over a ``(_memo_ts, values...)`` struct — one agg, no window).
+    ``ttl_sec`` (optional) expires entries: an expired key counts as a miss
+    and is recomputed + re-appended; ``fold()`` garbage-collects."""
 
     def __init__(self, spark, path: str, key_cols: list[str],
-                 value_cols: list[str]):
+                 value_cols: list[str], ttl_sec: float | None = None):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.value_cols = list(value_cols)
+        self.ttl_sec = ttl_sec
         os.makedirs(path, exist_ok=True)
 
+    def _parquet_files(self) -> list[str]:
+        return [f for f in os.listdir(self.path) if f.endswith(".parquet")]
+
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        """Latest-writer-wins dedup by key: max over a struct whose first
+        field is the write timestamp. One partial+final agg, no window."""
+        m = F.max(F.struct(F.col(_TS),
+                           *[F.col(c) for c in self.value_cols])).alias("_m")
+        agg = df.groupBy(*self.key_cols).agg(m)
+        return agg.select(
+            *self.key_cols,
+            F.col(f"_m.{_TS}").alias(_TS),
+            *[F.col(f"_m.{c}").alias(c) for c in self.value_cols],
+        )
+
     def _read(self) -> DataFrame | None:
-        files = [f for f in os.listdir(self.path) if f.endswith(".parquet")]
-        if not files:
+        """Live cache contents (TTL-filtered, latest-wins), or None."""
+        if not self._parquet_files():
             return None
         df = self.spark.read.parquet(self.path)
-        # racing appends may duplicate a key; values are deterministic, so
-        # any representative wins (max keeps it portable/deterministic)
-        return df.groupBy(*self.key_cols).agg(
-            *[F.max(c).alias(c) for c in self.value_cols]
-        )
+        if _TS not in df.columns:  # pre-TTL cache files
+            df = df.withColumn(_TS, F.lit(0.0))
+        if self.ttl_sec is not None:
+            cutoff = time.time() - self.ttl_sec
+            df = df.filter(F.col(_TS) >= F.lit(float(cutoff)))
+        return self._latest_per_key(df).drop(_TS)
 
     def enrich(self, df: DataFrame, compute) -> DataFrame:
         """Return ``df`` + value_cols, computing only cache misses.
 
         ``compute(misses_df) -> DataFrame`` must return key_cols +
         value_cols for the missed keys (vectorized — it sees a DataFrame,
-        not rows). New results are appended to the cache."""
+        not rows). New results are appended to the cache with a
+        distributed write — nothing is collected to the driver."""
         keys = df.select(*self.key_cols).distinct()
         cached = self._read()
         if cached is not None:
@@ -63,22 +93,64 @@ class EnrichmentCache:
         else:
             hits = None
             misses = keys
-        parts = []
-        if hits is not None:
-            parts.append(hits)
         # join misses back to the input so compute() sees full rows
         miss_rows = df.join(
             F.broadcast(misses.select(*self.key_cols)), self.key_cols,
             "left_semi",
         )
-        if miss_rows.limit(1).count() > 0:
-            fresh = compute(miss_rows).select(*self.key_cols,
-                                              *self.value_cols)
-            out = os.path.join(self.path,
-                               f"memo-{uuid.uuid4().hex[:12]}.parquet")
-            fresh.toPandas().to_parquet(out, index=False)
-            parts.append(self.spark.read.parquet(out))
+        # Dedup fresh BY KEY before writing/unioning: if df has several rows
+        # per key, compute() returns duplicate keys and the final left join
+        # would silently multiply input rows (ADVICE r3). Stamp first so the
+        # same latest-wins agg the read path uses applies here.
+        fresh = (compute(miss_rows)
+                 .select(*self.key_cols, *self.value_cols)
+                 .withColumn(_TS, F.lit(float(time.time()))))
+        fresh = self._latest_per_key(fresh)
+        # Unconditional distributed append (an empty write is cheap; probing
+        # with limit(1).count() cost a job per call). Snapshot the dir so we
+        # can re-read exactly the new part files instead of re-running
+        # compute() through the join lineage or re-scanning the whole cache.
+        before = set(os.listdir(self.path))
+        fresh.write.mode("append").parquet(self.path)
+        new_files = [os.path.join(self.path, f)
+                     for f in os.listdir(self.path)
+                     if f not in before and f.endswith(".parquet")]
+        parts = [] if hits is None else [hits]
+        if new_files:
+            parts.append(self.spark.read.parquet(*new_files).drop(_TS))
+        if not parts:
+            # no cache and compute produced nothing: left join against an
+            # empty enriched frame yields nulls for value_cols
+            empty = self.spark.createDataFrame(
+                [], keys.schema).select(
+                    "*", *[F.lit(None).alias(c) for c in self.value_cols])
+            parts = [empty]
         enriched = parts[0]
         for p in parts[1:]:
             enriched = enriched.unionByName(p)
         return df.join(enriched, self.key_cols, "left")
+
+    def fold(self) -> int:
+        """Compact the append log to a single latest-wins snapshot and drop
+        TTL-expired entries (the reference cache's expiry sweep,
+        PostgresCache.ts:380-398). Returns surviving row count. Maintenance
+        op: callers must not run it concurrently with enrich()."""
+        if not self._parquet_files():
+            return 0
+        df = self.spark.read.parquet(self.path)
+        if _TS not in df.columns:
+            df = df.withColumn(_TS, F.lit(0.0))
+        if self.ttl_sec is not None:
+            cutoff = time.time() - self.ttl_sec
+            df = df.filter(F.col(_TS) >= F.lit(float(cutoff)))
+        folded = self._latest_per_key(df)
+        tmp = self.path.rstrip("/") + ".fold-tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        folded.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        for f in os.listdir(self.path):
+            os.remove(os.path.join(self.path, f))
+        for f in os.listdir(tmp):
+            os.replace(os.path.join(tmp, f), os.path.join(self.path, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n
