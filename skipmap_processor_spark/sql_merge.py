@@ -1,0 +1,142 @@
+"""MERGE INTO SQL surface over LakeTable.
+
+The reference's single most important operator is a SQL-surfaced upsert
+(/root/reference/src/io/PostGISDataStore.ts:829-850 — INSERT .. ON
+CONFLICT DO UPDATE). This module gives the bespoke lake layer the same
+front door: the canonical CDC ``MERGE INTO`` statement (the exact text
+``formats.iceberg_merge_sql`` would submit to a real Iceberg catalog)
+parses onto ``LakeTable.merge_batch`` — so a deployment can author its
+upsert once, in SQL, and run it unchanged against either format.
+
+Scope: the parser accepts the CDC upsert GRAMMAR, not arbitrary MERGE —
+key-conjunction ON clause, an optional op='delete' matched-DELETE branch,
+UPDATE SET */explicit ord-gated sets, INSERT */explicit columns. Anything
+else raises with the supported shape. That is a deliberate contract: the
+lake's merge is ord-gated LWW by design, and a MERGE whose semantics
+disagree with that (e.g. unconditional UPDATE) must not be silently
+accepted and then executed with different semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skipmap_processor_spark.lake import KEY_COLS, LakeTable
+
+_WS = r"\s+"
+
+
+def _norm(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+
+
+_MERGE_RE = re.compile(
+    r"^MERGE INTO (?P<target>[\w.:/\-]+)(?: AS)? (?P<talias>\w+) "
+    r"USING (?P<source>[\w.]+)(?: AS)? (?P<salias>\w+) "
+    r"ON (?P<on>.+?) "
+    r"(?P<clauses>WHEN .+)$",
+    re.IGNORECASE,
+)
+
+_WHEN_RE = re.compile(
+    r"WHEN (?P<kind>NOT MATCHED|MATCHED)(?: AND (?P<guard>.+?))? "
+    r"THEN (?P<action>DELETE|UPDATE SET .+?|INSERT .+?)(?= WHEN |$)",
+    re.IGNORECASE,
+)
+
+
+def _parse_on(on: str, talias: str, salias: str) -> list[str]:
+    """ON must be the key-column conjunction (any order)."""
+    keys = []
+    for part in re.split(r"(?i)\s+AND\s+", on.strip()):
+        m = re.fullmatch(
+            rf"(?:{talias}|{salias})\.(\w+)\s*=\s*(?:{talias}|{salias})\.(\w+)",
+            part.strip(), re.IGNORECASE)
+        if not m or m.group(1).lower() != m.group(2).lower():
+            raise ValueError(
+                f"unsupported ON term {part!r}: the lake MERGE joins on the "
+                f"table key {KEY_COLS} (t.<key> = s.<key> conjunction)")
+        keys.append(m.group(1).lower())
+    if sorted(keys) != sorted(KEY_COLS):
+        raise ValueError(
+            f"ON clause keys {sorted(keys)} != table key {sorted(KEY_COLS)}")
+    return keys
+
+
+def _delete_guard(guard: str | None, salias: str) -> bool:
+    """True iff the guard (if any) is the canonical s.op = 'delete' test
+    (possibly AND-ed with the ord-newer test, which merge_batch enforces
+    anyway)."""
+    if guard is None:
+        return False
+    return bool(re.search(
+        rf"(?i)\b{salias}\.op\s*=\s*'delete'", guard))
+
+
+def execute_merge_into(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LakeTable] | None = None,
+    epoch: int | None = None,
+    source_df: DataFrame | None = None,
+) -> dict:
+    """Execute a canonical CDC MERGE INTO statement against a LakeTable.
+
+    ``tables`` maps target names as written in the SQL to LakeTable
+    instances (the catalog). The source is resolved as a temp view /
+    registered table via ``spark.table`` unless ``source_df`` is given.
+    ``epoch`` threads through to the exactly-once gate. Returns
+    merge_batch's stats dict.
+
+    The statement must be the ord-gated LWW upsert shape (see module
+    docstring; ``formats.iceberg_merge_sql`` emits exactly this text) —
+    semantically different MERGEs raise instead of executing wrongly.
+    """
+    text = _norm(sql)
+    m = _MERGE_RE.match(text)
+    if not m:
+        raise ValueError(
+            "unsupported MERGE shape; expected: MERGE INTO <tbl> t USING "
+            "<view> s ON t.repo = s.repo AND t.path = s.path WHEN MATCHED "
+            "[AND s.op = 'delete' ...] THEN DELETE WHEN MATCHED [AND ...] "
+            "THEN UPDATE SET ... WHEN NOT MATCHED [AND ...] THEN INSERT ...")
+    target, talias = m.group("target"), m.group("talias")
+    source, salias = m.group("source"), m.group("salias")
+    _parse_on(m.group("on"), talias, salias)
+
+    saw_update = saw_insert = saw_delete = False
+    for wm in _WHEN_RE.finditer(m.group("clauses")):
+        kind = wm.group("kind").upper()
+        action = wm.group("action").upper()
+        if kind == "MATCHED" and action == "DELETE":
+            if not _delete_guard(wm.group("guard"), salias):
+                raise ValueError(
+                    "MATCHED ... DELETE must be guarded by s.op = 'delete' "
+                    "(the lake's delete signal); an unguarded DELETE would "
+                    "tombstone every matched key")
+            saw_delete = True
+        elif kind == "MATCHED" and action.startswith("UPDATE SET"):
+            saw_update = True
+        elif kind == "NOT MATCHED" and action.startswith("INSERT"):
+            saw_insert = True
+        else:
+            raise ValueError(f"unsupported WHEN clause: {wm.group(0)!r}")
+    if not (saw_update and saw_insert):
+        raise ValueError(
+            "MERGE must carry both WHEN MATCHED ... UPDATE and WHEN NOT "
+            "MATCHED ... INSERT (the lake upsert is total per key)")
+
+    lake = (tables or {}).get(target)
+    if lake is None:
+        raise ValueError(f"unknown target table {target!r}; pass it in "
+                         "`tables` (the catalog mapping)")
+    src = source_df if source_df is not None else spark.table(source)
+    if "op" not in src.columns:
+        if saw_delete:
+            raise ValueError("source has no `op` column but the MERGE has a "
+                             "s.op = 'delete' branch")
+        src = src.withColumn("op", F.lit("upsert"))
+    return lake.merge_batch(src, epoch=epoch)
