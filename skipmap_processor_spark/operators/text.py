@@ -85,8 +85,10 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     redacted = F.col(text_col)
     n_hits = F.lit(0)
     for tag, pat in PII_PATTERNS:
-        n_hits = n_hits + F.size(F.expr(
-            f"regexp_extract_all({text_col}, '{pat}', 0)"))
+        # Column function, NOT F.expr: the SQL parser would unescape '\.'
+        # inside a string literal to '.', silently loosening the count regex.
+        n_hits = n_hits + F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
         redacted = F.regexp_replace(redacted, pat, f"[{tag.upper()}]")
     return df.select(
         "doc_id",

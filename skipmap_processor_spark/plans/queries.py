@@ -851,13 +851,27 @@ def text_fingerprint(spark, sf_dir):
 # deterministic split, stratified sampling
 # ---------------------------------------------------------------------------
 
+# DuckDB standard string literals do NOT process backslash escapes, so the
+# single-backslash patterns pass through unmodified (doubling them — the r3
+# bug — made the regex match a literal backslash and therefore nothing).
 _PII_SQL_REDACT = "text"
 _PII_SQL_HITS = []
 for _tag, _pat in text.PII_PATTERNS:
-    _sq = _pat.replace("\\", "\\\\")
-    _PII_SQL_HITS.append(f"len(regexp_extract_all(text, '{_sq}'))")
-    _PII_SQL_REDACT = (f"regexp_replace({_PII_SQL_REDACT}, '{_sq}', "
+    _PII_SQL_HITS.append(f"len(regexp_extract_all(text, '{_pat}'))")
+    _PII_SQL_REDACT = (f"regexp_replace({_PII_SQL_REDACT}, '{_pat}', "
                        f"'[{_tag.upper()}]', 'g')")
+
+# Planted PII rows (negative doc_ids) unioned into BOTH sides so the oracle
+# hash comparison is non-vacuous: the synthetic sf corpus contains zero
+# PII-shaped text, so without these the twin would agree on all-zeros.
+_PII_PLANTED = [
+    (-1, "contact alice.smith+x@example.org or bob@test.io today"),
+    (-2, "hosts 10.0.0.1 and 192.168.1.254 pinged 255.255.255.0"),
+    (-3, "leaked deadbeefdeadbeefdeadbeefdeadbeef0123 in the log"),
+    (-4, "near misses: a@bXio and 1a2b3c4 must count zero"),
+]
+_PII_PLANTED_SQL = ", ".join(
+    f"({i}, '{t}')" for i, t in _PII_PLANTED)
 
 
 @q(
@@ -867,15 +881,20 @@ for _tag, _pat in text.PII_PATTERNS:
     SELECT doc_id,
            CAST({' + '.join(_PII_SQL_HITS)} AS BIGINT) AS n_redactions,
            lower(sha256({_PII_SQL_REDACT})) AS redacted_sha
-    FROM documents
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES {_PII_PLANTED_SQL}) v(doc_id, text))
     """,
 )
 def text_pii_redact(spark, sf_dir):
     """PII scrub (emails / IPv4 / API-key-shaped hex) with per-doc hit
     count and scrubbed-text sha. Hit counts read the ORIGINAL text per
     pattern; replacements apply in declaration order — the DuckDB twin
-    mirrors both. Planted-PII behavior unit-tested in tests/test_doc_ops."""
-    return text.pii_redact(_t(spark, sf_dir, "documents"))
+    mirrors both. Planted-PII rows (negative ids) keep the twin comparison
+    non-vacuous; behavior also unit-tested in tests/test_doc_ops."""
+    planted = spark.createDataFrame(_PII_PLANTED, "doc_id bigint, text string")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.pii_redact(docs.unionByName(planted))
 
 
 @q(
