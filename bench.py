@@ -24,17 +24,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _steal_snap() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def main() -> None:
     # Round-2 post-mortem: a crashed scaling.py leaked 16 deadline-less
     # steal-probe burners that spun at 100% CPU through the driver's entire
     # round-2 bench (the "unexplained" 12x MOR-compaction blow-up). Kill any
     # stragglers before measuring anything.
+    # Round-3 post-mortem: the query phase ran UN-gated and regressed 3-7x
+    # vs r2; the r4 A/B (BENCH/ab_gcflags.json) shows the same queries at
+    # r2 speed under the same session flags in a verified-quiet window
+    # (0.4% in-run steal) and 2-11% steal on every slow leg — host noise,
+    # not the GC flags. So: quiet-gate EVERY phase and keep an in-run steal
+    # ledger per phase so future regressions are attributable.
     try:
-        from bench.scaling import kill_stray_probes
+        from bench.scaling import kill_stray_probes, wait_quiet
 
         kill_stray_probes()
     except Exception:
-        pass
+        wait_quiet = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
@@ -53,6 +65,17 @@ def main() -> None:
     # under AQE/speculation) otherwise land in the bench tail and read like
     # failures; real failures still surface via the errors field below
     spark.sparkContext.setLogLevel("ERROR")
+    # provenance: record the exact session conf the numbers were produced
+    # under, so a future regression is attributable without archaeology
+    # (r3's 3-7x query mystery took an A/B run to pin on host noise)
+    session_conf = {
+        "master": f"local[{cpus}]",
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "driver_memory": "16g",
+        "extra_java_options": spark.conf.get(
+            "spark.driver.extraJavaOptions", ""),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled", ""),
+    }
 
     # warmup: JIT/codegen/Arrow-worker spin-up so per-query numbers reflect
     # steady state (first-shape execution costs 3-10x otherwise)
@@ -63,16 +86,33 @@ def main() -> None:
                  "w1_lww_dedup", "sim_lsh_multiprobe_topk"):
         QUERIES[name](spark, sf_dir).count()
 
+    phase_ledger: dict[str, dict] = {}
+    pre_steal = wait_quiet() if wait_quiet else None
+    q_t0 = time.time()
+    s0_tot, s0_st = _steal_snap()
     qsecs: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.monotonic()
-        try:
-            # count() forces full execution without driver-side row transfer
-            fn(spark, sf_dir).count()
-            qsecs[name] = round(time.monotonic() - t0, 3)
-        except Exception as e:  # a failed query must be visible, not a
-            errors[name] = f"{type(e).__name__}: {e}"[:300]  # silent gap
+    # two timed passes, keep the min: a single pass is hostage to one steal
+    # burst landing on one query (exactly the r3 failure shape)
+    for _pass in range(2):
+        for name, fn in QUERIES.items():
+            t0 = time.monotonic()
+            try:
+                # count() forces full execution, no driver-side row transfer
+                fn(spark, sf_dir).count()
+                dt = round(time.monotonic() - t0, 3)
+                qsecs[name] = min(qsecs.get(name, dt), dt)
+            except Exception as e:  # a failed query must be visible, not a
+                errors[name] = f"{type(e).__name__}: {e}"[:300]  # silent gap
+    s1_tot, s1_st = _steal_snap()
+    phase_ledger["queries"] = {
+        "t_start_unix": round(q_t0, 1),
+        "wall_sec": round(time.time() - q_t0, 1),
+        "pre_steal_frac": None if pre_steal is None else round(pre_steal, 4),
+        "in_run_steal_frac": round((s1_st - s0_st) / max(s1_tot - s0_tot, 1),
+                                   4),
+        "timing": "min of 2 passes per query",
+    }
 
     # ANN quality evidence: recall@10 of the IVF-pruned search against the
     # exact brute-force top-10 (the trade IVF makes at scale is cells
@@ -103,6 +143,9 @@ def main() -> None:
     spark.stop()
 
     def cdc_sub(mode: str) -> dict:
+        pre = wait_quiet() if wait_quiet else None
+        t0 = time.time()
+        s0_tot, s0_st = _steal_snap()
         cmd = [
             sys.executable,
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -117,6 +160,14 @@ def main() -> None:
         if out.returncode != 0 or not lines:
             raise RuntimeError(
                 f"cdc_bench rc={out.returncode}: {out.stderr[-300:]}")
+        s1_tot, s1_st = _steal_snap()
+        phase_ledger[f"cdc_{mode}"] = {
+            "t_start_unix": round(t0, 1),
+            "wall_sec": round(time.time() - t0, 1),
+            "pre_steal_frac": None if pre is None else round(pre, 4),
+            "in_run_steal_frac": round(
+                (s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4),
+        }
         return json.loads(lines[-1])
 
     try:
@@ -144,6 +195,8 @@ def main() -> None:
         "sf": sf,
         "cdc": cdc,
         "cdc_cow": cdc_cow,
+        "phases": phase_ledger,
+        "session_conf": session_conf,
     }
     # Full detail goes to a file; stdout gets a COMPACT final line. The
     # driver records only the last 2000 chars of output — round 2's line
@@ -161,6 +214,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in qsecs.items()},
         "n_errors": len(errors),
+        "steal": {p: v["in_run_steal_frac"] for p, v in phase_ledger.items()},
         "ivf_recall_at_10": ivf_recall_at_10,
         "lsh_recall_at_10": lsh_recall_at_10,
         "sf": sf,

@@ -26,9 +26,19 @@ def _gc_flags(cpus: int, driver_memory: str) -> str:
     Bounded GC/JIT threads either way: a local[8] JVM on a 32-core host
     otherwise runs ~23 GC threads, free-riding on cores a real 8-core
     executor would not have."""
-    try:
-        heap_gb = float(driver_memory.lower().rstrip("gb"))
-    except ValueError:
+    import re
+
+    # parse any JVM-style size ('8g', '64G', '16384m', '900000k', '512gb');
+    # a bare rstrip('gb') misread '16384m' as 8 GB default and picked
+    # ParallelGC on what is really a 16 GB heap (ADVICE r3)
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([kmg]?)b?\s*",
+                     driver_memory.lower())
+    if m:
+        scale = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1.0, "": 1.0}
+        heap_gb = float(m.group(1)) * scale[m.group(2)]
+        if m.group(2) == "":  # bare number = bytes per JVM convention
+            heap_gb = float(m.group(1)) / (1024 ** 3)
+    else:
         heap_gb = 8.0
     cci = f" -XX:CICompilerCount={max(2, min(cpus, 4))}"
     if heap_gb <= 16:
