@@ -131,6 +131,13 @@ def main() -> None:
     except Exception as e:
         errors["lsh_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
         lsh_recall_at_10 = None
+    try:
+        mg = {r["vec_id"] for r in
+              QUERIES["sim_lsh_margin_topk"](spark, sf_dir).collect()}
+        margin_recall_at_10 = round(len(brute & mg) / max(len(brute), 1), 3)
+    except Exception as e:
+        errors["margin_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
+        margin_recall_at_10 = None
 
     # CDC replay headline: both merge modes — MOR is the write-heavy scale
     # path, CoW the read-optimal. Each replay runs in its OWN subprocess JVM
@@ -183,6 +190,26 @@ def main() -> None:
         errors["cdc_replay_1m_events_cow"] = f"{type(e).__name__}: {e}"[:300]
         cdc_cow = None
 
+    # ANN recall in the DESIGN regime (near-dup corpus): sf0.1's random
+    # vectors cap any Hamming-ring recall at ~0.4 (BENCH/ANN.md derivation),
+    # so the sf0.1 recall above is reported next to the regime the index is
+    # for — both numbers in one line, neither standing in for the other.
+    ann = None
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench", "ann_bench.py"),
+             "--rows", "40000", "--dim", "128", "--planes", "10",
+             "--cpus", "8"],
+            capture_output=True, text=True, timeout=900)
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if lines:
+            ann = json.loads(lines[-1])
+    except Exception as e:
+        errors["ann_neardup"] = f"{type(e).__name__}: {e}"[:300]
+
     total = round(sum(qsecs.values()), 3)
     full = {
         "metric": "headline_queries_plus_cdc_replay_total_sec",
@@ -192,6 +219,8 @@ def main() -> None:
         "errors": errors,
         "ivf_recall_at_10": ivf_recall_at_10,
         "lsh_recall_at_10": lsh_recall_at_10,
+        "margin_recall_at_10": margin_recall_at_10,
+        "ann_neardup": ann,
         "sf": sf,
         "cdc": cdc,
         "cdc_cow": cdc_cow,
@@ -217,6 +246,12 @@ def main() -> None:
         "steal": {p: v["in_run_steal_frac"] for p, v in phase_ledger.items()},
         "ivf_recall_at_10": ivf_recall_at_10,
         "lsh_recall_at_10": lsh_recall_at_10,
+        "margin_recall_at_10": margin_recall_at_10,
+        "neardup": ann and {
+            "lsh_recall": ann["lsh_recall_at_k"],
+            "margin_recall": ann["margin_recall_at_k"],
+            "margin_cost_vs_brute": ann["margin_cost_vs_brute"],
+        },
         "sf": sf,
         "cdc": {
             "mor_events_per_sec": cdc and cdc["events_per_sec"],

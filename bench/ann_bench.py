@@ -118,6 +118,13 @@ def main() -> None:
     t_lsh, r_lsh = timed(
         lambda: similarity.lsh_indexed_topk(
             spark, idx, qv, k=args.k, planes=args.planes, hamming=2).collect())
+    # margin-ranked probing: cheapest `budget` ring buckets by summed
+    # flipped-plane margins — the sub-ring that keeps the recall
+    budget = max(1, len(similarity.probe_masks(args.planes, 2)) * 2 // 5)
+    t_margin, r_margin = timed(
+        lambda: similarity.lsh_indexed_topk(
+            spark, idx, qv, k=args.k, planes=args.planes, hamming=2,
+            budget=budget).collect())
     # ivf_topk couples train+query in one call (that is the oracled query
     # shape); train on a 4k sample here — at ingest a deployment trains
     # once and persists the centroid table, so the query-phase cost is the
@@ -141,6 +148,12 @@ def main() -> None:
         "lsh_speedup_vs_brute": round(t_brute / max(t_lsh, 1e-9), 2),
         "lsh_recall_at_k": round(
             len(set(brute_ids) & {r["vec_id"] for r in r_lsh}) / args.k, 3),
+        "margin_budget": budget,
+        "margin_query_sec": round(t_margin, 3),
+        "margin_cost_vs_brute": round(t_margin / max(t_brute, 1e-9), 3),
+        "margin_recall_at_k": round(
+            len(set(brute_ids) & {r["vec_id"] for r in r_margin}) / args.k,
+            3),
         "ivf_recall_at_k": round(
             len(set(brute_ids) & {r["vec_id"] for r in r_ivf}) / args.k, 3),
     }

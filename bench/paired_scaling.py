@@ -1,0 +1,237 @@
+"""Paired two-cluster-size scaling campaign (the r4 headline protocol).
+
+Round-3's headline mixed legs from different host phases: the shared VM
+alternates clean/degraded phases on a minutes scale, so best-per-config
+could pair an ultra-clean A window with a degraded B. This runner closes
+that hole the way VERDICT r3 item 1 prescribes:
+
+- each PAIR runs back-to-back inside ONE verified-quiet window
+  (wait_quiet gate immediately before leg 1; legs run consecutively with
+  no probe between them so the window can't silently rotate),
+- leg order ALTERNATES across pairs (A-first, B-first, ...) so a phase
+  drifting mid-pair penalizes both directions equally,
+- a pair is VALID only if BOTH legs' own in-run steal ledgers are clean
+  (< ``--max-steal-frac`` of total host CPU during the leg, default 2%),
+- the headline is the MEDIAN valid pair's steady efficiency — not a best
+  case, not a post-hoc matching.
+
+Every leg still appends to BENCH/scaling_history.jsonl (full disclosure,
+storm legs included); pairs append to BENCH/paired_pairs.jsonl with both
+steal ledgers and a valid flag. On completion the BENCH/BASELINE.md
+headline is rewritten around the paired protocol.
+
+Usage:
+    python bench/paired_scaling.py --pairs 5 [--n 4] [--events 32000000]
+        [--fixed-shuffle 128] [--max-wall-s 10800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench.scaling import kill_stray_probes, run_one, wait_quiet  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NCPU = os.cpu_count() or 32
+
+
+def _steal_frac(leg: dict) -> float:
+    """Leg's in-run steal as a fraction of total host CPU-time during it."""
+    return leg["steal_sec"] / max(leg["wall_sec"] * NCPU, 1e-9)
+
+
+def main() -> None:
+    kill_stray_probes()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=5,
+                    help="valid (both-legs-clean) pairs to collect")
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--keys", type=int, default=300_000)
+    ap.add_argument("--events", type=int, default=32_000_000)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--mode", default="mor")
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--sha", choices=["arrow", "jvm"], default="jvm")
+    ap.add_argument("--fixed-shuffle", type=int, default=128)
+    ap.add_argument("--max-steal-frac", type=float, default=0.02)
+    ap.add_argument("--quiet-threshold", type=float, default=0.02)
+    ap.add_argument("--max-wall-s", type=float, default=10800)
+    ap.add_argument("--max-attempts", type=int, default=24)
+    args = ap.parse_args()
+
+    smult = os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")
+    fmult = os.environ.get("SKIPMAP_FPB_MULT", "2")
+    layout = (f"sp{args.fixed_shuffle}" if args.fixed_shuffle
+              else f"s{smult}f{fmult}")
+    sig = (f"n{args.n}_k{args.keys}_e{args.events}_p{args.epochs}"
+           f"_{args.mode}_{args.sha}_{layout}")
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    pairs_path = os.path.join(REPO, "BENCH", "paired_pairs.jsonl")
+
+    def leg(cpus: int) -> dict | None:
+        r = run_one(cpus, args.keys, args.events, args.epochs, args.mode,
+                    args.warmup, args.sha, args.fixed_shuffle)
+        if r is None:
+            return None
+        r["sig"] = sig
+        r["protocol"] = "paired"
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        return r
+
+    t_start = time.time()
+    valid: list[dict] = []
+    attempt = 0
+    while (len(valid) < args.pairs and attempt < args.max_attempts
+           and time.time() - t_start < args.max_wall_s):
+        attempt += 1
+        a_first = attempt % 2 == 1
+        pre = wait_quiet(threshold=args.quiet_threshold,
+                         max_wait_s=min(1800, args.max_wall_s / 4))
+        order = ([args.n, args.n * 4] if a_first else [args.n * 4, args.n])
+        legs = {}
+        for cpus in order:
+            r = leg(cpus)
+            if r is None:
+                break
+            legs[cpus] = r
+        if len(legs) < 2:
+            print(f"# pair {attempt}: a leg died, retrying",
+                  file=sys.stderr, flush=True)
+            continue
+        small, big = legs[args.n], legs[args.n * 4]
+        fr_small, fr_big = _steal_frac(small), _steal_frac(big)
+        ok = fr_small < args.max_steal_frac and fr_big < args.max_steal_frac
+        pair = {
+            "ts": time.time(),
+            "sig": sig,
+            "order": "A-first" if a_first else "B-first",
+            "pre_steal_frac": round(pre, 4),
+            "steal_frac_small": round(fr_small, 4),
+            "steal_frac_big": round(fr_big, 4),
+            "valid": ok,
+            "eff_wall": round(
+                (big["events_per_sec"] / small["events_per_sec"]) / 4, 4),
+            "eff_steady": round(
+                (big["steady_events_per_sec"]
+                 / small["steady_events_per_sec"]) / 4, 4),
+            "eff_cpu": round(
+                (small["proc_cpu_sec"] / small["n_events"])
+                / (big["proc_cpu_sec"] / big["n_events"]), 4),
+            "small": small,
+            "big": big,
+        }
+        with open(pairs_path, "a") as f:
+            f.write(json.dumps(pair) + "\n")
+        if ok:
+            valid.append(pair)
+        print(f"# pair {attempt} ({pair['order']}): steady "
+              f"{pair['eff_steady']} cpu {pair['eff_cpu']} "
+              f"steal {fr_small:.3f}/{fr_big:.3f} "
+              f"{'VALID' if ok else 'dirty'} ({len(valid)}/{args.pairs})",
+              file=sys.stderr, flush=True)
+
+    if not valid:
+        print(json.dumps({"error": "no valid pairs", "attempts": attempt}))
+        return
+
+    med = statistics.median(p["eff_steady"] for p in valid)
+    med_wall = statistics.median(p["eff_wall"] for p in valid)
+    med_cpu = statistics.median(p["eff_cpu"] for p in valid)
+    # the pair whose steady efficiency IS the median (odd n) or nearest it
+    headline = min(valid, key=lambda p: abs(p["eff_steady"] - med))
+    small, big = headline["small"], headline["big"]
+
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    lo = min(p["eff_steady"] for p in valid)
+    hi = max(p["eff_steady"] for p in valid)
+    with open(path, "w") as f:
+        f.write(f"""# BENCH/BASELINE — CDC replay scaling evidence (paired protocol)
+
+Generated {datetime.now(timezone.utc).isoformat()} by
+`bench/paired_scaling.py`. Protocol per /root/repo/BASELINE.md ("Sandbox
+scaling evidence") with the r4 pairing discipline: the same CDC replay
+(binlog -> lake upsert, merge mode `{args.mode}`, identical input:
+{args.events:,} events / {args.epochs} epochs / {args.keys:,} keys, seed=42,
+one hot repo at 35% of events, shuffle layout pinned at
+{args.fixed_shuffle} partitions for BOTH cluster sizes — byte-identical
+jobs) runs at local[{args.n}] and local[{args.n * 4}] in separate fresh
+JVMs, {args.warmup} untimed warmup epochs each. Each PAIR runs
+back-to-back inside one verified-quiet window (<{args.quiet_threshold:.0%}
+loaded steal probed immediately before leg 1), leg order alternating
+across pairs; a pair only counts when BOTH legs' own in-run steal ledgers
+are < {args.max_steal_frac:.0%} of host CPU. **The headline is the MEDIAN
+valid pair — no post-hoc window matching, no best-of.**
+
+Campaign: {attempt} pairs attempted, {len(valid)} valid
+(both-legs-clean); every leg (dirty ones included) is in
+`BENCH/scaling_history.jsonl`, every pair in `BENCH/paired_pairs.jsonl`.
+
+## Median valid pair
+
+| run | master | shuffle partitions | wall sec | events/sec | steady events/sec* | proc cpu sec | in-run steal frac |
+|---|---|---|---|---|---|---|---|
+| A | local[{args.n}] | {args.fixed_shuffle} | {small['wall_sec']} | {small['events_per_sec']} | {small['steady_events_per_sec']} | {small['proc_cpu_sec']} | {headline['steal_frac_small']} |
+| B | local[{args.n * 4}] | {args.fixed_shuffle} | {big['wall_sec']} | {big['events_per_sec']} | {big['steady_events_per_sec']} | {big['proc_cpu_sec']} | {headline['steal_frac_big']} |
+
+*steady = excluding the first timed epoch (JIT/codegen warmup, identical
+both legs, amortized to ~0 over a 10^10-event stream).
+
+**Scaling efficiency (median over {len(valid)} valid pairs):**
+
+- steady wall-clock: **{med:.3f}** (target >= 0.8); raw wall-clock:
+  **{med_wall:.3f}**; valid-pair range [{lo:.3f}, {hi:.3f}]
+- per-event proc-CPU efficiency (CPU/event_A ÷ CPU/event_B):
+  **{med_cpu:.3f}** — 1.0 = 4x parallelism adds zero contention; this is
+  the throttle-robust signal (hypervisor frequency capping hits wall
+  clock, not CPU-per-event)
+
+## Per-pair detail
+
+| # | order | eff steady | eff wall | eff cpu | steal A/B | valid |
+|---|---|---|---|---|---|---|
+""")
+        for i, p in enumerate(
+                sorted(valid, key=lambda p: p["ts"]), 1):
+            f.write(f"| {i} | {p['order']} | {p['eff_steady']} | "
+                    f"{p['eff_wall']} | {p['eff_cpu']} | "
+                    f"{p['steal_frac_small']}/{p['steal_frac_big']} | "
+                    f"yes |\n")
+        f.write(f"""
+## Environment caveat (measured, affects wall-clock only)
+
+The sandbox VM runs under a hypervisor that steals 10-25% CPU in bursts
+and throttles sustained disk writes (~40 MB/s after a few-GB burst);
+bench scratch lives on tmpfs and every pair is gated + ledgered as above.
+On a real N- vs 4N-executor cluster, disk/network scale with executors
+and steal is absent.
+
+Raw JSON (median pair):
+
+```json
+{json.dumps(small)}
+{json.dumps(big)}
+```
+""")
+    print(json.dumps({
+        "eff_steady_median": round(med, 3),
+        "eff_wall_median": round(med_wall, 3),
+        "eff_cpu_median": round(med_cpu, 3),
+        "valid_pairs": len(valid),
+        "attempted": attempt,
+        "range": [round(lo, 3), round(hi, 3)],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -449,6 +449,37 @@ def multiprobe_buckets(query_vec: list[float], planes: int = 8,
     return sorted(qb ^ m for m in probe_masks(planes, hamming))
 
 
+def query_margins(query_vec: list[float], planes: int = 8) -> list[float]:
+    """|W_p . q| per plane, rounded to 6dp — the query's confidence in each
+    sign bit. A vector near hyperplane p flips bit p under small noise, so
+    low-margin planes are where true neighbors hide. Rounding makes the
+    value engine-portable (DuckDB computes the same sum in a different
+    order; 6dp absorbs the float ulp drift, same convention as IVF)."""
+    W = hyperplanes(len(query_vec), planes)
+    x = np.asarray(query_vec, dtype=np.float64)
+    return [float(round(abs(v), 6)) for v in (W @ x)]
+
+
+def margin_probe_buckets(query_vec: list[float], planes: int = 8,
+                         hamming: int = 2, budget: int = 16) -> list[int]:
+    """Margin-ranked multi-probe (Lv et al., VLDB'07 refinement over the
+    static ring): rank every Hamming<=``hamming`` mask by the summed
+    margins of the planes it flips (flipping low-confidence planes first),
+    take the cheapest ``budget`` masks. Deterministic: cost rounds to 6dp
+    and ties break by mask id, so an oracle enumerates the identical probe
+    set from the same query vector. The result is a SUBSET of
+    ``multiprobe_buckets`` — same contract, ~budget/|ring| of its scan."""
+    qb = lsh_query_bucket(query_vec, planes)
+    margins = query_margins(query_vec, planes)
+    masks = probe_masks(planes, hamming)
+    cost = {
+        m: round(sum(margins[p] for p in range(planes) if m >> p & 1), 6)
+        for m in masks
+    }
+    chosen = sorted(masks, key=lambda m: (cost[m], m))[: int(budget)]
+    return sorted(qb ^ m for m in chosen)
+
+
 # Resolved-file-index cache: spark.read.parquet over a 2^planes-dir index
 # costs seconds of driver-side directory listing PER CALL (measured 2.2 s
 # at 1024 dirs); a real deployment holds the table's file index in the
@@ -512,15 +543,22 @@ def lsh_indexed_topk(
     hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    budget: int | None = None,
 ) -> DataFrame:
     """Query phase over a persisted LSH index: read only the probed
     ``_hbucket=`` partitions (multi-probe ring; partition pruning verified
     — PartitionFilters IN-list on _hbucket), exact cosine rank inside.
     The scan fraction is ~|probes|/2^planes of the table. Steady-state
     cost: file index cached, codegen cached (parameterized query vector) —
-    only the pruned scan + top-k run per query."""
+    only the pruned scan + top-k run per query. ``budget`` switches the
+    probe set from the full static ring to its margin-ranked cheapest
+    ``budget`` buckets (flip least-confident planes first) — same oracle
+    contract, smaller scan."""
     df = _index_df(spark, index_dir)
-    bks = multiprobe_buckets(query_vec, planes, hamming)
+    if budget is not None:
+        bks = margin_probe_buckets(query_vec, planes, hamming, budget)
+    else:
+        bks = multiprobe_buckets(query_vec, planes, hamming)
     return cosine_topk_param(
         df.filter(F.col("_hbucket").isin(bks)), query_vec, k, id_col, vec_col
     )
@@ -529,9 +567,14 @@ def lsh_indexed_topk(
 def lsh_multiprobe_duckdb_sql(planes: int = 8, hamming: int = 2,
                               query_id: int = 0, table: str = "embeddings",
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> str:
+                              vec_col: str = "embedding",
+                              budget: int | None = None) -> str:
     """DuckDB twin of lsh_indexed_topk: same md5-derived ±1 weights, same
-    sign rule, same static Hamming-ring probe set via xor()."""
+    sign rule, same static Hamming-ring probe set via xor(). With
+    ``budget``, the same margin ranking: per-plane |projection| rounded to
+    6dp, mask cost = rounded sum over flipped planes, cheapest ``budget``
+    masks win with ties broken by mask id — byte-identical to
+    margin_probe_buckets."""
     proj = (
         "list_sum(list_transform(range(1, len({v}) + 1), "
         "i -> {v}[i]::DOUBLE * (CASE WHEN ('0x' || substring(md5("
@@ -543,24 +586,43 @@ def lsh_multiprobe_duckdb_sql(planes: int = 8, hamming: int = 2,
         for p in range(planes)
     )
     masks = ", ".join(str(m) for m in probe_masks(planes, hamming))
+    if budget is None:
+        mask_filter = f"xor(b.bkt, q.qbkt) IN ({masks})"
+        margin_sel = ""
+    else:
+        margin_sel = ", " + ", ".join(
+            f"ROUND(ABS({proj.format(v=vec_col, p=p)}), 6) AS m{p}"
+            for p in range(planes)
+        )
+        cost = " + ".join(
+            f"(CASE WHEN (v.m & {1 << p}) > 0 THEN q.m{p} ELSE 0.0 END)"
+            for p in range(planes)
+        )
+        mask_filter = (
+            f"xor(b.bkt, q.qbkt) IN (SELECT m FROM ("
+            f"SELECT v.m, ROUND({cost}, 6) AS c "
+            f"FROM (VALUES {', '.join(f'({m})' for m in probe_masks(planes, hamming))}) v(m), q "
+            f"ORDER BY c, v.m LIMIT {int(budget)}))"
+        )
     return f"""
     WITH b AS (
       SELECT {id_col}, {vec_col}, ({bucket}) AS bkt FROM {table}
     ), q AS (
-      SELECT {vec_col} AS qv, bkt AS qbkt FROM b WHERE {id_col} = {query_id}
+      SELECT {vec_col} AS qv, bkt AS qbkt{margin_sel}
+      FROM b WHERE {id_col} = {query_id}
     )
-    SELECT {id_col},
+    SELECT b.{id_col},
            ROUND(
-             list_sum(list_transform(range(1, len({vec_col}) + 1),
-                      i -> {vec_col}[i]::DOUBLE * qv[i]::DOUBLE))
-             / (SQRT(list_sum(list_transform(range(1, len({vec_col}) + 1),
-                        i -> {vec_col}[i]::DOUBLE * {vec_col}[i]::DOUBLE)))
+             list_sum(list_transform(range(1, len(b.{vec_col}) + 1),
+                      i -> b.{vec_col}[i]::DOUBLE * qv[i]::DOUBLE))
+             / (SQRT(list_sum(list_transform(range(1, len(b.{vec_col}) + 1),
+                        i -> b.{vec_col}[i]::DOUBLE * b.{vec_col}[i]::DOUBLE)))
                 * SQRT(list_sum(list_transform(range(1, len(qv) + 1),
                         i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))),
              5) AS cosine
     FROM b, q
-    WHERE xor(b.bkt, q.qbkt) IN ({masks})
-    ORDER BY cosine DESC, {id_col} ASC LIMIT 10
+    WHERE {mask_filter}
+    ORDER BY cosine DESC, b.{id_col} ASC LIMIT 10
     """
 
 

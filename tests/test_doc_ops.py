@@ -235,6 +235,43 @@ def test_lsh_persisted_index_multiprobe(spark, tmp_path):
     assert "_hbucket" in pruned.columns
 
 
+def test_lsh_margin_probe_subset_and_recall(spark, tmp_path):
+    """Margin-ranked probing: the cheapest-``budget`` masks (by summed
+    flipped-plane |margin|) give a deterministic SUBSET of the static ring
+    that always contains the query's own bucket (mask 0 costs 0), and on a
+    near-dup corpus the sub-ring keeps the near-dups the full ring finds."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    vecs = [(0, [float(x) for x in base])]
+    vecs += [(i, [float(x) for x in base + rng.normal(scale=0.08, size=16)])
+             for i in range(1, 12)]
+    vecs += [(i, [float(x) for x in rng.normal(size=16)])
+             for i in range(12, 150)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    idx = str(tmp_path / "lsh_idx_m")
+    similarity.build_lsh_index(df, dim=16, out_dir=idx, planes=8)
+
+    qv = [float(np.float32(x)) for x in vecs[0][1]]
+    ring = set(similarity.multiprobe_buckets(qv, planes=8, hamming=2))
+    sub = similarity.margin_probe_buckets(qv, planes=8, hamming=2, budget=15)
+    assert len(sub) == 15 and set(sub) <= ring
+    assert similarity.lsh_query_bucket(qv, planes=8) in sub
+    # deterministic: same query -> same probes
+    assert sub == similarity.margin_probe_buckets(qv, planes=8, hamming=2,
+                                                  budget=15)
+    got = [r["vec_id"] for r in similarity.lsh_indexed_topk(
+        spark, idx, qv, k=10, planes=8, hamming=2, budget=15).collect()]
+    full = [r["vec_id"] for r in similarity.lsh_indexed_topk(
+        spark, idx, qv, k=10, planes=8, hamming=2).collect()]
+    assert got[0] == 0
+    # near-dups live in low-margin flips: the 15/37 sub-ring keeps >=80%
+    # of the full ring's true-near-dup recall on this corpus
+    neardups = set(range(12))
+    assert len(set(got) & neardups) >= 0.8 * len(set(full) & neardups)
+
+
 def test_lsh_high_dim_768(spark):
     """The matmul pandas_udf path must work at real embedding dims (the old
     per-plane literal expression tree blew up Catalyst past ~100 dims)."""
