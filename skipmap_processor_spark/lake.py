@@ -646,11 +646,42 @@ class LakeTable:
 
     # ------------------------------------------------------------- MERGE
 
+    def parked_renames(self, mani: dict | None = None) -> list[dict]:
+        """Renames parked because an epoch GAP existed below them at apply
+        time (a rename reads its source key's state at its ord position, so
+        unlike the LWW upsert/delete ops it is NOT order-independent — a
+        rename applied before an earlier missing epoch lands may have seen a
+        source that "didn't exist yet"). Each entry:
+        {repo, path, new_path, commit, event_seq, epoch}. The list lives in
+        the manifest so parking commits atomically with the merge; the
+        stream layer re-injects entries into the rename resolver whenever a
+        gap-filling epoch arrives, and an entry is dropped once no gap
+        remains below its epoch (its resolution is then final)."""
+        mani = mani or self.manifest()
+        return list(mani["properties"].get("parked_renames", []))
+
+    _MAX_PARKED_RENAMES = 100_000
+
+    @staticmethod
+    def _set_parked_renames(mani: dict, entries: list[dict]) -> None:
+        p = mani["properties"]
+        if entries:
+            if len(entries) > LakeTable._MAX_PARKED_RENAMES:
+                raise ValueError(
+                    f"{len(entries)} renames parked behind epoch gaps — the "
+                    "feed is delivering rename bursts pathologically out of "
+                    "order; refusing to grow the manifest further"
+                )
+            p["parked_renames"] = entries
+        else:
+            p.pop("parked_renames", None)
+
     def merge_batch(self, actions: DataFrame, epoch: int | None,
                     files_per_bucket: int = 1,
                     affected_buckets: list[int] | None = None,
                     pre_partitioned: bool = False,
-                    pre_commit_check=None) -> dict:
+                    pre_commit_check=None,
+                    post_commit_mutate=None) -> dict:
         """Copy-on-write MERGE of a deduped action batch, gated by epoch HWM.
 
         ``actions`` columns: repo, path, commit, event_seq,
@@ -680,7 +711,8 @@ class LakeTable:
 
         if mani["properties"].get("merge_mode") == "mor":
             return self._merge_mor(actions, epoch, mani, files_per_bucket,
-                                   pre_partitioned, pre_commit_check)
+                                   pre_partitioned, pre_commit_check,
+                                   post_commit_mutate)
 
         # CoW rewrites of the SAME bucket don't commute (a concurrent
         # rewrite would be silently lost), but DISJOINT-bucket rewrites do:
@@ -729,7 +761,8 @@ class LakeTable:
                     act = act.withColumn(
                         col, F.lit(None).cast(pay_types[col]))
             return self._merge_cow_locked(
-                act, epoch, mani, files_per_bucket, affected)
+                act, epoch, mani, files_per_bucket, affected,
+                post_commit_mutate)
         finally:
             for fd in fds:
                 fcntl.flock(fd, fcntl.LOCK_UN)
@@ -739,7 +772,8 @@ class LakeTable:
 
     def _merge_cow_locked(self, act: DataFrame, epoch: int | None,
                           mani: dict, files_per_bucket: int,
-                          affected: list[int]) -> dict:
+                          affected: list[int],
+                          post_commit_mutate=None) -> dict:
         """``act`` arrives bucketed (_bucket column) with payload columns
         filled against ``mani``; the caller holds exclusive locks on every
         bucket in ``affected``."""
@@ -818,6 +852,11 @@ class LakeTable:
             mani["version"] = new_version
             if epoch is not None:
                 self._mark_epoch_applied(mani, epoch)
+            if post_commit_mutate is not None:
+                # runs on the (possibly rebased) manifest AFTER the epoch
+                # gate state is final — the parked-rename bookkeeping reads
+                # the post-apply gap intervals, atomically with the data
+                post_commit_mutate(mani)
             try:
                 self._commit_manifest(mani)
                 break
@@ -843,7 +882,8 @@ class LakeTable:
     def _merge_mor(self, actions: DataFrame, epoch: int | None, mani: dict,
                    files_per_bucket: int = 1,
                    pre_partitioned: bool = False,
-                   pre_commit_check=None) -> dict:
+                   pre_commit_check=None,
+                   post_commit_mutate=None) -> dict:
         """Merge-on-read: append the deduped batch as delta rows — no read of
         existing data, no join. Cost is proportional to the batch, never to
         the table. Readers resolve versions via the LWW window (read());
@@ -921,6 +961,8 @@ class LakeTable:
             mani["version"] = new_version
             if epoch is not None:
                 self._mark_epoch_applied(mani, epoch)
+            if post_commit_mutate is not None:
+                post_commit_mutate(mani)
             mani["properties"]["has_deltas"] = self._has_multi(mani)
             try:
                 self._commit_manifest(mani)

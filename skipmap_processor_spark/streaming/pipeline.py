@@ -25,6 +25,7 @@ import time
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from skipmap_processor_spark.lake import LakeTable
 from skipmap_processor_spark.operators.dedup import prepare_actions
@@ -96,7 +97,41 @@ def apply_epoch(
     promoted: list[str] = []
     stats = None
 
-    if mani["properties"].get("merge_mode") == "mor":
+    # ---- out-of-order rename handling (parked renames) ----------------
+    # LWW upserts/deletes commute across epochs, renames do NOT: a rename
+    # reads its source key's state at its ord position, so a rename applied
+    # while an EARLIER epoch is still missing may see a source that "does
+    # not exist yet" and silently no-op (oracle.apply_event returns [] for
+    # a missing source — correct in sequential order, wrong out of order).
+    # Protocol: every rename applied while a gap exists below its epoch is
+    # PARKED in the manifest (atomically with the merge commit); whenever a
+    # gap-FILLING epoch arrives, parked renames above it are re-injected
+    # into this batch's sequential resolver, which replays them at their
+    # true ord against the now-completed state. Re-injecting an
+    # already-applied rename is a no-op (the resolver's ord gate sees its
+    # own tombstone at the same ord). An entry is dropped once no gap
+    # remains below its epoch — its resolution is then final.
+    hwm = int(mani["properties"]["hwm_epoch"])
+    parked = lake.parked_renames(mani)
+    inject = (
+        [r for r in parked if int(r["epoch"]) > epoch]
+        if (parked and epoch <= hwm)
+        else []
+    )
+    if inject:
+        spark = events.sparkSession
+        inj = spark.createDataFrame(
+            [(r["repo"], r["path"], r["new_path"], r["commit"],
+              int(r["event_seq"])) for r in inject],
+            "repo string, path string, new_path string, commit string, "
+            "event_seq bigint",
+        ).withColumn("op", F.lit("rename"))
+        for f in events.schema.fields:
+            if f.name not in inj.columns:
+                inj = inj.withColumn(f.name, F.lit(None).cast(f.dataType))
+        events = events.unionByName(inj.select(*events.columns))
+
+    if mani["properties"].get("merge_mode") == "mor" and not inject:
         # OPTIMISTIC single-pass fast path: assume the epoch is rename-free
         # and carries no unseen extra columns (true for every steady-state
         # epoch); validate via observe() metrics computed DURING the one
@@ -156,12 +191,52 @@ def apply_epoch(
             if k not in known_orig:
                 lake.add_column(k, "string", src_key=k)
                 promoted.append(k)
+        park_hook = None
+        if profile["has_renames"] or parked:
+            # this batch's own renames (NOT the injected ones — those keep
+            # their origin epoch in `parked`); rename rows are rare and the
+            # slow path already runs a driver-visible job per epoch, so a
+            # bounded collect of 5 narrow columns is fine here
+            inj_keys = {
+                (r["repo"], r["path"], r["new_path"], r["commit"],
+                 int(r["event_seq"])) for r in inject
+            }
+            fresh = [
+                {"repo": r["repo"], "path": r["path"],
+                 "new_path": r["new_path"], "commit": r["commit"],
+                 "event_seq": int(r["event_seq"]), "epoch": int(epoch)}
+                for r in events.filter(F.col("op") == "rename")
+                .select("repo", "path", "new_path", "commit", "event_seq")
+                .collect()
+                if (r["repo"], r["path"], r["new_path"], r["commit"],
+                    int(r["event_seq"])) not in inj_keys
+            ]
+
+            def park_hook(mani2: dict) -> None:
+                ivs = LakeTable._missing_intervals_of(mani2["properties"])
+
+                def gap_below(ep: int) -> bool:
+                    return any(s < ep for s, _e in ivs)
+
+                seen: set = set()
+                kept: list[dict] = []
+                for r in fresh + parked:
+                    key = (r["repo"], r["path"], r["new_path"], r["commit"],
+                           int(r["event_seq"]), int(r["epoch"]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    if gap_below(int(r["epoch"])):
+                        kept.append(r)
+                LakeTable._set_parked_renames(mani2, kept)
+
         actions = prepare_actions(
             events, lake, salt_buckets=salt_buckets, sha_impl=sha_impl,
             has_renames=profile["has_renames"],
         )
         stats = lake.merge_batch(
-            actions, epoch, affected_buckets=profile["affected_buckets"]
+            actions, epoch, affected_buckets=profile["affected_buckets"],
+            post_commit_mutate=park_hook,
         )
     stats["ddl_applied"] = ddl_applied
     stats["auto_promoted"] = promoted
@@ -250,8 +325,23 @@ def run_stream(
     """
     ddl = read_ddl(events_dir)
 
+    # Declare the partition column LAST. The file source appends partition
+    # values after the data columns in the physical row; when the stream
+    # starts over an EMPTY directory (live tail bootstrapping before the
+    # first epoch lands) Spark cannot detect `epoch` as a partition column
+    # at source init and keeps the user-declared attribute ORDER while later
+    # batches still arrive in physical order — a declared schema with epoch
+    # first then binds every name to the wrong value (observed: extra_cols
+    # resolved as BIGINT because it picked up the epoch values). Epoch-last
+    # makes declared order == physical order in both the empty-start and
+    # dirs-present cases.
+    full = event_spark_schema()
+    stream_schema = StructType(
+        [f for f in full.fields if f.name != "epoch"]
+        + [f for f in full.fields if f.name == "epoch"]
+    )
     sdf = (
-        spark.readStream.schema(event_spark_schema())
+        spark.readStream.schema(stream_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
