@@ -61,6 +61,8 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--sha", choices=["arrow", "jvm"], default="jvm")
     ap.add_argument("--fixed-shuffle", type=int, default=128)
+    ap.add_argument("--in-flight", type=int, default=1,
+                    help="concurrent epoch applies per leg (backfill mode)")
     ap.add_argument("--max-steal-frac", type=float, default=0.02)
     ap.add_argument("--quiet-threshold", type=float, default=0.02)
     ap.add_argument("--max-wall-s", type=float, default=10800)
@@ -71,6 +73,8 @@ def main() -> None:
     fmult = os.environ.get("SKIPMAP_FPB_MULT", "2")
     layout = (f"sp{args.fixed_shuffle}" if args.fixed_shuffle
               else f"s{smult}f{fmult}")
+    if args.in_flight > 1:
+        layout += f"_if{args.in_flight}"
     sig = (f"n{args.n}_k{args.keys}_e{args.events}_p{args.epochs}"
            f"_{args.mode}_{args.sha}_{layout}")
 
@@ -80,7 +84,8 @@ def main() -> None:
 
     def leg(cpus: int) -> dict | None:
         r = run_one(cpus, args.keys, args.events, args.epochs, args.mode,
-                    args.warmup, args.sha, args.fixed_shuffle)
+                    args.warmup, args.sha, args.fixed_shuffle,
+                    args.in_flight)
         if r is None:
             return None
         r["sig"] = sig

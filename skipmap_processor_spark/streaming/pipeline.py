@@ -197,10 +197,11 @@ def apply_epoch(
             # their origin epoch in `parked`); rename rows are rare and the
             # slow path already runs a driver-visible job per epoch, so a
             # bounded collect of 5 narrow columns is fine here
-            inj_keys = {
-                (r["repo"], r["path"], r["new_path"], r["commit"],
-                 int(r["event_seq"])) for r in inject
-            }
+            def _key(r: dict) -> tuple:
+                return (r["repo"], r["path"], r["new_path"], r["commit"],
+                        int(r["event_seq"]), int(r["epoch"]))
+
+            inj_keys = {_key(r) for r in inject}
             fresh = [
                 {"repo": r["repo"], "path": r["path"],
                  "new_path": r["new_path"], "commit": r["commit"],
@@ -208,26 +209,49 @@ def apply_epoch(
                 for r in events.filter(F.col("op") == "rename")
                 .select("repo", "path", "new_path", "commit", "event_seq")
                 .collect()
-                if (r["repo"], r["path"], r["new_path"], r["commit"],
-                    int(r["event_seq"])) not in inj_keys
             ]
+            fresh = [r for r in fresh if _key(r) not in inj_keys]
+
+            # Resolution finality is judged against the SNAPSHOT the
+            # resolver seeded from (`mani`), NOT the commit-time gap state:
+            # with concurrent epoch applies, a racing epoch can commit
+            # between our snapshot and our hook, closing the gap while our
+            # resolution was computed WITHOUT its effects. A rename's
+            # resolution is final iff every epoch below it was applied in
+            # the snapshot, with THIS batch's epoch counting as applied.
+            snap_ivs = LakeTable._missing_intervals_of(mani["properties"])
+            snap_hwm = hwm
+
+            def _covered_below(ep: int) -> bool:
+                if ep > snap_hwm + 1:
+                    return False  # epochs snap_hwm+1..ep-1 never seen
+                for s, e in snap_ivs:
+                    if s >= ep:
+                        continue
+                    lo, hi = s, min(e, ep - 1)
+                    if not (lo == epoch and hi == epoch):
+                        return False
+                return True
+
+            resolved_keys = {
+                _key(r) for r in fresh + inject
+                if _covered_below(int(r["epoch"]))
+            }
 
             def park_hook(mani2: dict) -> None:
-                ivs = LakeTable._missing_intervals_of(mani2["properties"])
-
-                def gap_below(ep: int) -> bool:
-                    return any(s < ep for s, _e in ivs)
-
                 seen: set = set()
                 kept: list[dict] = []
-                for r in fresh + parked:
-                    key = (r["repo"], r["path"], r["new_path"], r["commit"],
-                           int(r["event_seq"]), int(r["epoch"]))
-                    if key in seen:
+                # base on mani2's CURRENT list, not the snapshot read at
+                # apply start: a CONCURRENT apply may have parked entries
+                # in between (the CAS rebase replays this hook on the
+                # winner's manifest), and rebuilding from the stale
+                # snapshot would silently drop them
+                for r in fresh + lake.parked_renames(mani2):
+                    key = _key(r)
+                    if key in seen or key in resolved_keys:
                         continue
                     seen.add(key)
-                    if gap_below(int(r["epoch"])):
-                        kept.append(r)
+                    kept.append(r)
                 LakeTable._set_parked_renames(mani2, kept)
 
         actions = prepare_actions(
@@ -244,6 +268,59 @@ def apply_epoch(
     return stats
 
 
+def resolve_parked(lake: LakeTable, spark: SparkSession) -> dict:
+    """Replay parked renames whose gap below has closed, outside any epoch.
+
+    The sequential protocol resolves parked renames inside the gap-FILLING
+    apply (it injects everything parked above itself). With CONCURRENT
+    epoch applies that invariant can race: epoch K+1 parks a rename while K
+    is still uncommitted, then K commits — the gap closes but no later
+    apply remains to inject. This finalizer closes that hole: entries with
+    no remaining gap below replay through the same sequential resolver in
+    an epoch-less merge, and only the entries replayed HERE are dropped
+    (a racing writer may free more entries mid-flight; those stay parked
+    for their own resolution)."""
+    parked = lake.parked_renames()
+    if not parked:
+        return {"resolved": 0}
+    ivs = lake.missing_intervals()
+
+    def gap_below(ep: int) -> bool:
+        return any(s < ep for s, _e in ivs)
+
+    ready = [r for r in parked if not gap_below(int(r["epoch"]))]
+    if not ready:
+        return {"resolved": 0, "still_parked": len(parked)}
+    ready_keys = {
+        (r["repo"], r["path"], r["new_path"], r["commit"],
+         int(r["event_seq"]), int(r["epoch"])) for r in ready
+    }
+    ev = spark.createDataFrame(
+        [(r["repo"], r["path"], r["new_path"], r["commit"],
+          int(r["event_seq"])) for r in ready],
+        "repo string, path string, new_path string, commit string, "
+        "event_seq bigint",
+    ).select(
+        "repo", "path", "new_path", "commit", "event_seq",
+        F.lit("rename").alias("op"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra_cols"),
+    )
+    actions = prepare_actions(ev, lake, has_renames=True)
+
+    def hook(mani2: dict) -> None:
+        kept = [
+            r for r in lake.parked_renames(mani2)
+            if (r["repo"], r["path"], r["new_path"], r["commit"],
+                int(r["event_seq"]), int(r["epoch"])) not in ready_keys
+        ]
+        LakeTable._set_parked_renames(mani2, kept)
+
+    lake.merge_batch(actions, epoch=None, post_commit_mutate=hook)
+    return {"resolved": len(ready), "still_parked": len(parked) - len(ready)}
+
+
 def replay_log(
     spark: SparkSession,
     lake: LakeTable,
@@ -251,11 +328,39 @@ def replay_log(
     ddl: pd.DataFrame | None = None,
     salt_buckets: int = 8,
     sha_impl: str = "arrow",
+    max_in_flight: int = 1,
 ) -> list[dict]:
-    """Batch-mode replay: loop epochs in order through apply_epoch."""
+    """Batch-mode replay: epochs through apply_epoch.
+
+    ``max_in_flight > 1`` applies that many epochs CONCURRENTLY (backfill /
+    catch-up mode): the MOR merge is an ord-gated CAS append and the CoW
+    merge takes per-bucket locks, so epoch applies commute — the lake's
+    final state is arrival-order-independent by design (LWW ord total
+    order; renames via the parked-rename protocol, finalized by
+    resolve_parked after the pool drains). Overlapping epochs fills the
+    scheduler/barrier idle a sequential loop leaves on wide executors.
+    DDL-bearing logs replay sequentially (schema changes take effect FROM
+    their epoch — a concurrent earlier epoch could see the later schema)."""
     epochs = sorted(
         r["epoch"] for r in events.select("epoch").distinct().collect()
     )
+    if max_in_flight > 1 and (ddl is None or not len(ddl)):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+            futs = [
+                pool.submit(
+                    apply_epoch, lake,
+                    events.filter(F.col("epoch") == ep).drop("epoch"),
+                    int(ep), None, salt_buckets, sha_impl,
+                )
+                for ep in epochs
+            ]
+            out = [f.result() for f in futs]
+        fin = resolve_parked(lake, spark)
+        if fin.get("resolved"):
+            out.append({"parked_resolved": fin["resolved"]})
+        return out
     out = []
     for ep in epochs:
         batch = events.filter(F.col("epoch") == ep).drop("epoch")

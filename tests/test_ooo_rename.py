@@ -197,3 +197,38 @@ def test_applied_rename_reinjection_is_noop(spark, tmp_path):
     # b.py carries the post-rename update, not a resurrected rename copy
     b = engine[engine["path"] == "b.py"].iloc[0]
     assert b["content"] == "v3"
+
+
+@pytest.mark.parametrize("merge_mode", ["mor", "cow"])
+def test_concurrent_epoch_replay_matches_oracle(spark, tmp_path, merge_mode):
+    """Backfill mode: replay_log(max_in_flight=2) applies epochs
+    concurrently (threads, CAS-rebased commits). Final state must equal
+    the sequential oracle for ANY interleaving — including renames whose
+    source epoch may commit after the rename's epoch parked it (the
+    resolve_parked finalizer closes that race)."""
+    from skipmap_processor_spark.sources.events import generate_full
+    from skipmap_processor_spark.streaming.pipeline import replay_log
+
+    base, ev, _ddl = generate_full(
+        n_repos=8, n_base_paths=60, n_events=500, n_epochs=5)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), num_buckets=8,
+                            merge_mode=merge_mode)
+    bootstrap_base(lake, spark.createDataFrame(base, schema=base_spark_schema()))
+
+    records = ev.to_dict("records")
+    for r in records:
+        if isinstance(r.get("ts"), pd.Timestamp):
+            r["ts"] = r["ts"].to_pydatetime()
+    sdf = spark.createDataFrame(records, schema=event_spark_schema())
+    replay_log(spark, lake, sdf, ddl=None, max_in_flight=2)
+    assert lake.parked_renames() == []
+    assert lake.missing_intervals() == []
+
+    oracle = replay(base, ev, None)
+    engine = _final(lake)
+    cols = sorted(oracle.columns)
+    pd.testing.assert_frame_equal(
+        engine[cols].astype({"event_seq": "int64"}),
+        oracle[cols].astype({"event_seq": "int64"}),
+        check_dtype=False,
+    )
