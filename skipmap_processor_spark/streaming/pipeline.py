@@ -421,12 +421,17 @@ def run_stream(
     on_batch=None,
     compact_every: int = 0,
     sha_impl: str = "arrow",
+    max_in_flight: int = 1,
 ):
     """Tail the event directory as a Structured Streaming file source.
 
     One epoch == one ``epoch=K`` partition dir == (by construction) one file,
     so ``maxFilesPerTrigger`` bounds epochs per micro-batch; a micro-batch
-    containing several epochs applies them in order inside ``foreachBatch``.
+    containing several epochs applies them in order inside ``foreachBatch``
+    — or, with ``max_in_flight > 1``, concurrently (catch-up mode: when the
+    tail falls behind and a trigger delivers several epoch files, applies
+    commute — see replay_log — and overlapping them fills scheduler/barrier
+    idle; requires a DDL-free log, falls back to sequential otherwise).
     """
     ddl = read_ddl(events_dir)
 
@@ -461,6 +466,32 @@ def run_stream(
                 r["epoch"]
                 for r in batch_df.select("epoch").distinct().collect()
             )
+        concurrent = (max_in_flight > 1 and len(epochs) > 1
+                      and (ddl is None or not len(ddl)))
+        if concurrent:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+                futs = [
+                    pool.submit(
+                        apply_epoch, lake,
+                        batch_df.filter(F.col("epoch") == ep).drop("epoch"),
+                        int(ep), None, salt_buckets, sha_impl,
+                    )
+                    for ep in epochs
+                ]
+                results = [f.result() for f in futs]
+            resolve_parked(lake, batch_df.sparkSession)
+            for ep, stats in zip(epochs, results):
+                if (
+                    compact_every > 0
+                    and not stats.get("skipped")
+                    and (int(ep) + 1) % compact_every == 0
+                ):
+                    stats["compact"] = lake.compact(target_files_per_bucket=1)
+                if on_batch is not None:
+                    on_batch(stats)
+            return
         for ep in epochs:
             stats = apply_epoch(
                 lake,

@@ -232,3 +232,40 @@ def test_concurrent_epoch_replay_matches_oracle(spark, tmp_path, merge_mode):
         oracle[cols].astype({"event_seq": "int64"}),
         check_dtype=False,
     )
+
+
+def test_stream_catchup_concurrent_epochs(spark, tmp_path):
+    """run_stream(max_in_flight=2): one availableNow trigger delivering all
+    epoch files at once (a tail that fell behind) applies them concurrently
+    and still matches the sequential oracle."""
+    from skipmap_processor_spark.sources.events import (
+        generate_full,
+        write_event_log,
+    )
+    from skipmap_processor_spark.streaming.pipeline import run_stream
+
+    base, ev, _ddl = generate_full(
+        n_repos=8, n_base_paths=60, n_events=500, n_epochs=5)
+    events_dir = str(tmp_path / "events")
+    write_event_log(events_dir, ev, None)  # DDL-free log
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), num_buckets=8,
+                            merge_mode="mor")
+    bootstrap_base(lake, spark.createDataFrame(base, schema=base_spark_schema()))
+
+    seen: list[dict] = []
+    q = run_stream(spark, lake, events_dir, str(tmp_path / "ckpt"),
+                   max_files_per_trigger=16, available_now=True,
+                   on_batch=seen.append, max_in_flight=2)
+    q.awaitTermination(300)
+    assert sorted(s["epoch"] for s in seen) == sorted(
+        int(e) for e in ev["epoch"].unique())
+    assert lake.parked_renames() == []
+
+    oracle = replay(base, ev, None)
+    engine = _final(lake)
+    cols = sorted(oracle.columns)
+    pd.testing.assert_frame_equal(
+        engine[cols].astype({"event_seq": "int64"}),
+        oracle[cols].astype({"event_seq": "int64"}),
+        check_dtype=False,
+    )
