@@ -1,0 +1,352 @@
+"""Change feed (CDC *out*) + incremental materialized views.
+
+The engine so far consumes a binlog and maintains a lake table (CDC *in*).
+This module closes the loop the way Delta's Change Data Feed / Iceberg's
+``changes`` metadata table do for their ecosystems: downstream consumers
+read the **net row-level changes between two committed snapshots** and
+maintain derived state (here: distributive aggregate views) incrementally,
+without rescanning the table.
+
+Reference parity: the reference's incremental consumers re-read affected
+cache ranges after each batch (``/root/reference/src/utils/
+PostgresCache.ts:209-317``) and its clustering pipeline recomputes derived
+aggregates from scratch per run (``/root/reference/src/clustering/
+services/DataLoader.ts:45-48``). At 10^10 events a rescan per refresh is
+the difference between O(changes) and O(table) — this module is the
+Spark-native replacement.
+
+Scale shape:
+
+- **candidate discovery is metadata-only**: walk the manifest chain
+  between the two versions, skip versions whose ``commit_kind`` is not a
+  logical change (``compact`` folds LWW duplicates and GCs tombstones but
+  never changes a live key's winning row; ``metadata`` is DDL), and diff
+  the immutable shard descriptors — only shards *added* by merge commits
+  are loaded, and carried-by-reference shards are skipped by path without
+  touching their JSON. Replacement shards written by CoW rewrites are
+  filtered against the previous version's entry set (shard loads hit the
+  LakeTable shard cache).
+- **data reads are bucket-pruned and candidate-bounded**: the pre/post
+  images read only buckets the candidate keys hash into, inner-joined to
+  the candidate key set (AQE turns this into a broadcast join when the
+  key set is small — the steady-state case).
+- **classification is one full-outer join + one explode**, no repeated
+  subplans: the four change classes are emitted from a single array-of-
+  structs projection over the joined row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skipmap_processor_spark.lake import KEY_COLS, LakeTable, bucket_expr
+
+# commit kinds that can add/remove live rows; manifests written before
+# commit-kind tagging carry no marker and are treated as merges (safe:
+# extra candidates cost time, never correctness — the pre/post join drops
+# no-op rows)
+_LOGICAL_KINDS = {"merge", None}
+
+CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
+
+
+class VersionExpired(Exception):
+    """The requested snapshot's manifest was vacuumed away. Raise rather
+    than silently widening the range: an incremental consumer that lost
+    its window must rebuild from a full snapshot, not guess."""
+
+
+def _manifest_or_expired(lake: LakeTable, version: int) -> dict:
+    try:
+        return lake.manifest(version)
+    except FileNotFoundError:
+        raise VersionExpired(
+            f"manifest v{version} no longer exists (vacuumed); "
+            "rebuild the consumer from a full snapshot read"
+        ) from None
+
+
+def _added_entries(lake: LakeTable, from_version: int,
+                   to_version: int) -> list[dict]:
+    """File entries added by logical (merge) commits in (from, to].
+
+    Shard-descriptor diff first (descriptors carried by reference are
+    skipped by path), then an entry-path filter against the previous
+    version's full set so CoW *replacement* shards (filtered copies of old
+    shards that lost entries) don't smuggle carried rows back in as
+    candidates."""
+    out: list[dict] = []
+    prev = _manifest_or_expired(lake, from_version)
+    prev_paths: set[str] | None = None  # lazy: only needed on a diff hit
+    for v in range(from_version + 1, to_version + 1):
+        mani = _manifest_or_expired(lake, v)
+        if mani.get("commit_kind", None) not in _LOGICAL_KINDS:
+            prev = mani
+            prev_paths = None
+            continue
+        prev_shards = {sd["path"] for sd in prev.get("shards", [])}
+        new_descs = [sd for sd in mani.get("shards", [])
+                     if sd["path"] not in prev_shards]
+        prev_inline = {fe["path"] for fe in prev.get("files", [])}
+        new_inline = [fe for fe in mani.get("files", [])
+                      if fe["path"] not in prev_inline]
+        if new_descs or new_inline:
+            if prev_paths is None:
+                prev_paths = {fe["path"] for fe in lake.file_entries(prev)}
+            for sd in new_descs:
+                out.extend(fe for fe in lake._load_shard(sd["path"])
+                           if fe["path"] not in prev_paths)
+            out.extend(fe for fe in new_inline
+                       if fe["path"] not in prev_paths)
+        prev = mani
+        prev_paths = None
+    # the same physical file can be added in one version and carried through
+    # later ones — dedup by path
+    seen: set[str] = set()
+    uniq = []
+    for fe in out:
+        if fe["path"] not in seen:
+            seen.add(fe["path"])
+            uniq.append(fe)
+    return uniq
+
+
+def _image(lake: LakeTable, version: int, mani_to: dict,
+           buckets: list[int], keys: DataFrame) -> DataFrame:
+    """LWW-resolved row per candidate key at ``version``, with every
+    column bound (by field id) to the ``to``-version schema so pre and
+    post images join on identical names even across column renames."""
+    mani_v = _manifest_or_expired(lake, version)
+    files = lake.file_entries(mani_v, buckets=buckets)
+    df = lake._read_files(mani_to, files)
+    # LWW fold — unconditional: pre-images of MOR tables need it, and for
+    # an already-folded (CoW / freshly compacted) image it reduces to one
+    # row per key at the cost of a window over pruned buckets only
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*KEY_COLS).orderBy(
+        F.col("commit").desc(), F.col("event_seq").desc(),
+        F.col("_epoch").desc(),
+    )
+    df = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # candidate-bounded: inner join against the (distinct) key set; AQE
+    # broadcasts it when small, which is the steady-state MOR case
+    return df.join(keys, KEY_COLS, "inner")
+
+
+def table_changes(lake: LakeTable, from_version: int,
+                  to_version: int | None = None) -> DataFrame:
+    """Net row-level changes of the LIVE view between two snapshots.
+
+    Returns one row per (key, change) with ``_change_type`` in
+    ``insert | delete | update_preimage | update_postimage`` (Delta CDF
+    naming), payload columns bound to the ``to`` snapshot's schema, and
+    the image row's ``commit``/``event_seq``. Net semantics: a key
+    upserted five times and deleted within the range emits nothing if it
+    was absent at ``from``; intermediate versions are not replayed — this
+    is the contract incremental view maintenance needs, and the cheap one
+    (no per-version replay).
+    """
+    if to_version is None:
+        to_version = lake._latest_version()
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version "
+                         f"{from_version}")
+    mani_to = _manifest_or_expired(lake, to_version)
+    payload = lake.payload_columns(mani_to)
+    out_cols = KEY_COLS + payload + ["commit", "event_seq"]
+
+    def _empty() -> DataFrame:
+        schema_cols = {c["name"]: c["type"]
+                       for c in lake.current_schema(mani_to)}
+        ddl = ", ".join(
+            [f"`{c}` {schema_cols.get(c, 'string')}" for c in out_cols]
+            + ["_change_type string"]
+        )
+        return lake.spark.createDataFrame([], ddl)
+
+    if to_version == from_version:
+        return _empty()
+    cand = _added_entries(lake, from_version, to_version)
+    if not cand:
+        return _empty()
+
+    nb = int(mani_to["num_buckets"])
+    cand_df = lake._read_files(mani_to, cand)
+    # materialize the candidate key set ONCE (it feeds the bucket probe and
+    # both image joins); localCheckpoint breaks lineage so the scan of the
+    # candidate files doesn't re-run per consumer, and the blocks are freed
+    # by the ContextCleaner when the feed DataFrame goes out of scope
+    keys = cand_df.select(*KEY_COLS).distinct().localCheckpoint(eager=True)
+    # bucket list is bounded by num_buckets — a driver-side collect of at
+    # most nb small ints, same pattern as LakeTable.lookup
+    buckets = sorted(
+        r["_b"]
+        for r in keys.select(bucket_expr(nb).alias("_b")).distinct().collect()
+    )
+    pre = _image(lake, from_version, mani_to, buckets, keys)
+    post = _image(lake, to_version, mani_to, buckets, keys)
+
+    p = pre.select(
+        *KEY_COLS,
+        *[F.col(c).alias(f"_pre_{c}") for c in payload],
+        F.col("commit").alias("_pre_commit"),
+        F.col("event_seq").alias("_pre_event_seq"),
+        F.col("is_deleted").alias("_pre_del"),
+    )
+    q = post.select(
+        *KEY_COLS,
+        *[F.col(c).alias(f"_post_{c}") for c in payload],
+        F.col("commit").alias("_post_commit"),
+        F.col("event_seq").alias("_post_event_seq"),
+        F.col("is_deleted").alias("_post_del"),
+    )
+    j = p.join(q, KEY_COLS, "full_outer")
+
+    pre_alive = F.coalesce(~F.col("_pre_del"), F.lit(False))
+    post_alive = F.coalesce(~F.col("_post_del"), F.lit(False))
+    ord_changed = (
+        (F.col("_pre_commit") != F.col("_post_commit"))
+        | (F.col("_pre_event_seq") != F.col("_post_event_seq"))
+    )
+
+    def _struct(side: str, ctype: str):
+        return F.struct(
+            *[F.col(c).alias(c) for c in KEY_COLS],
+            *[F.col(f"_{side}_{c}").alias(c) for c in payload],
+            F.col(f"_{side}_commit").alias("commit"),
+            F.col(f"_{side}_event_seq").alias("event_seq"),
+            F.lit(ctype).alias("_change_type"),
+        )
+
+    upd = pre_alive & post_alive & ord_changed
+    rows = F.array(
+        F.when(post_alive & ~pre_alive, _struct("post", "insert")),
+        F.when(pre_alive & ~post_alive, _struct("pre", "delete")),
+        F.when(upd, _struct("pre", "update_preimage")),
+        F.when(upd, _struct("post", "update_postimage")),
+    )
+    return (
+        j.select(F.explode(rows).alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .select("_c.*")
+    )
+
+
+class IncrementalView:
+    """A materialized distributive-aggregate view maintained from the
+    change feed — refresh cost O(changes since last refresh), never
+    O(table).
+
+    ``metrics`` maps output column -> a per-row SQL expression summed over
+    live rows (``{"n_files": "1", "total_bytes": "length(content)"}``);
+    ``count``-style metrics are just ``sum(1)``. Signed maintenance:
+    inserts/update-postimages contribute ``+expr``, deletes/update-
+    preimages ``-expr`` — exact for sum/count (the classic IVM result;
+    min/max are not maintainable under deletes without auxiliary state and
+    are rejected by construction since every metric is a sum).
+
+    State layout: ``{path}/state-v{N}/`` parquet + ``{path}/_meta.json``
+    holding the lake version the state reflects; refresh writes the new
+    state dir BEFORE flipping the meta pointer (crash-safe: a torn refresh
+    leaves the old pointer valid), then GCs older state dirs.
+    """
+
+    def __init__(self, spark: SparkSession, lake: LakeTable, path: str,
+                 group_cols: list[str], metrics: dict[str, str]):
+        self.spark = spark
+        self.lake = lake
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.metrics = dict(metrics)
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------- state
+    def _meta(self) -> dict | None:
+        p = os.path.join(self.path, "_meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_state(self, df: DataFrame, version: int) -> None:
+        name = f"state-v{version}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        tmp = os.path.join(self.path, f"_meta.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "state": name,
+                       "group_cols": self.group_cols,
+                       "metrics": self.metrics}, f)
+        os.replace(tmp, os.path.join(self.path, "_meta.json"))
+        for fn in os.listdir(self.path):
+            if fn.startswith("state-") and fn != name:
+                shutil.rmtree(os.path.join(self.path, fn),
+                              ignore_errors=True)
+
+    def read(self) -> DataFrame:
+        meta = self._meta()
+        if meta is None:
+            raise FileNotFoundError("view not built — call refresh()")
+        return self.spark.read.parquet(
+            os.path.join(self.path, meta["state"]))
+
+    # ----------------------------------------------------------- refresh
+    def _aggs(self, sign=None):
+        out = []
+        for name, expr in self.metrics.items():
+            col = F.expr(expr)
+            if sign is not None:
+                col = sign * col
+            out.append(F.sum(col).alias(name))
+        return out
+
+    def refresh(self) -> dict:
+        """Bring the view up to the lake's latest version. Full build on
+        first call (or after VersionExpired — the retention window moved
+        past the last refresh); incremental from the change feed after."""
+        latest = self.lake._latest_version()
+        meta = self._meta()
+        if meta is not None and meta["version"] == latest:
+            return {"mode": "noop", "version": latest}
+        if meta is None:
+            return self._full_build(latest)
+        try:
+            cf = table_changes(self.lake, meta["version"], latest)
+        except VersionExpired:
+            return self._full_build(latest)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        delta = (
+            cf.groupBy(*self.group_cols)
+            .agg(*self._aggs(sign), F.sum(sign).alias("_cnt"))
+        )
+        # one union + re-agg: a single shuffle over |state|+|delta| rows
+        merged = (
+            self.read().unionByName(delta)
+            .groupBy(*self.group_cols)
+            .agg(*[F.sum(F.col(n)).alias(n) for n in self.metrics],
+                 F.sum("_cnt").alias("_cnt"))
+            .filter(F.col("_cnt") > 0)
+        )
+        self._write_state(merged, latest)
+        return {"mode": "incremental", "version": latest,
+                "from_version": meta["version"]}
+
+    def _full_build(self, latest: int) -> dict:
+        full = self.lake.read(version=latest)
+        state = full.groupBy(*self.group_cols).agg(
+            *self._aggs(), F.count(F.lit(1)).alias("_cnt"))
+        self._write_state(state, latest)
+        return {"mode": "full", "version": latest}

@@ -126,6 +126,7 @@ class LakeTable:
             raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         manifest = {
             "version": 0,
+            "commit_kind": "create",
             "num_buckets": num_buckets,
             "key_cols": KEY_COLS,
             "schema_version": 1,
@@ -244,6 +245,10 @@ class LakeTable:
             if not mutate(mani):
                 return mani
             mani["version"] = self._latest_version() + 1
+            # DDL / bookkeeping commits never add or remove data rows — the
+            # change feed (changefeed.table_changes) skips these versions
+            # during candidate-file discovery
+            mani["commit_kind"] = "metadata"
             try:
                 self._commit_manifest(mani)
                 return mani
@@ -857,6 +862,7 @@ class LakeTable:
                 # gate state is final — the parked-rename bookkeeping reads
                 # the post-apply gap intervals, atomically with the data
                 post_commit_mutate(mani)
+            mani["commit_kind"] = "merge"
             try:
                 self._commit_manifest(mani)
                 break
@@ -964,6 +970,7 @@ class LakeTable:
             if post_commit_mutate is not None:
                 post_commit_mutate(mani)
             mani["properties"]["has_deltas"] = self._has_multi(mani)
+            mani["commit_kind"] = "merge"
             try:
                 self._commit_manifest(mani)
                 break
@@ -1170,6 +1177,10 @@ class LakeTable:
             mani["shards"] = mani["shards"] + [new_desc]
             mani["version"] = new_version
             mani["properties"]["has_deltas"] = self._has_multi(mani)
+            # a logical no-op for the LIVE-rows view (LWW fold + tombstone
+            # GC never changes a non-deleted key's winning row) — the change
+            # feed skips this version's files during candidate discovery
+            mani["commit_kind"] = "compact"
             try:
                 self._commit_manifest(mani)
                 break

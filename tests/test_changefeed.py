@@ -1,0 +1,281 @@
+"""Change feed (CDC out) + incremental materialized views.
+
+Oracle strategy: the feed's contract is "net live-view diff between two
+snapshots", so every test checks the feed against the trivially-correct
+oracle — reconstruct both snapshots with ``LakeTable.read(version=...)``
+and diff them driver-side — rather than against hand-enumerated rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skipmap_processor_spark.changefeed import (
+    IncrementalView,
+    VersionExpired,
+    table_changes,
+)
+from skipmap_processor_spark.lake import LakeTable
+
+
+def _mk_actions(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, event_seq bigint, op string, "
+        "lang string, content string, content_sha string",
+    )
+
+
+def c(i: int) -> str:
+    return f"{i:016x}" + "a" * 24
+
+
+def _snapshot(t: LakeTable, version: int) -> dict:
+    """Oracle: live view at a version as {key: (payload..., commit, seq)}."""
+    rows = t.read(version=version, with_engine_cols=True).collect()
+    return {
+        (r["repo"], r["path"]): (r["lang"], r["content"], r["content_sha"],
+                                 r["commit"], r["event_seq"])
+        for r in rows
+    }
+
+
+def _oracle_changes(t: LakeTable, v_from: int, v_to: int) -> dict:
+    pre, post = _snapshot(t, v_from), _snapshot(t, v_to)
+    out: dict = {}
+    for k in pre.keys() | post.keys():
+        a, b = pre.get(k), post.get(k)
+        if a is None and b is not None:
+            out[k] = {("insert", b)}
+        elif a is not None and b is None:
+            out[k] = {("delete", a)}
+        elif a != b:
+            out[k] = {("update_preimage", a), ("update_postimage", b)}
+    return out
+
+
+def _feed_changes(t: LakeTable, v_from: int, v_to: int) -> dict:
+    out: dict = {}
+    for r in table_changes(t, v_from, v_to).collect():
+        k = (r["repo"], r["path"])
+        out.setdefault(k, set()).add(
+            (r["_change_type"],
+             (r["lang"], r["content"], r["content_sha"],
+              r["commit"], r["event_seq"]))
+        )
+    return out
+
+
+def _assert_feed_matches_oracle(t: LakeTable, v_from: int, v_to: int):
+    assert _feed_changes(t, v_from, v_to) == _oracle_changes(t, v_from, v_to)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_insert_update_delete_classes(spark, warehouse, mode):
+    t = LakeTable.create(spark, os.path.join(warehouse, f"t_{mode}"),
+                         num_buckets=4, merge_mode=mode)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "v1", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "python", "w1", "s2"),
+        ("r1", "c.py", c(1), 2, "upsert", "go", "x1", "s3"),
+    ]), epoch=0)
+    v1 = t._latest_version()
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "upsert", "python", "v2", "s4"),   # update
+        ("r1", "b.py", c(2), 1, "delete", None, None, None),       # delete
+        ("r1", "d.py", c(2), 2, "upsert", "rust", "y1", "s5"),     # insert
+    ]), epoch=1)
+    v2 = t._latest_version()
+
+    feed = _feed_changes(t, v1, v2)
+    assert feed == _oracle_changes(t, v1, v2)
+    assert {ct for ct, _ in feed[("r1", "a.py")]} == {
+        "update_preimage", "update_postimage"}
+    assert {ct for ct, _ in feed[("r1", "b.py")]} == {"delete"}
+    assert {ct for ct, _ in feed[("r1", "d.py")]} == {"insert"}
+    assert ("r1", "c.py") not in feed  # untouched key: no row even if its
+    # bucket was rewritten (CoW carries it into a new file)
+
+    # from the create version: everything alive at v2 is an insert
+    _assert_feed_matches_oracle(t, 0, v2)
+    # degenerate range
+    assert table_changes(t, v2, v2).count() == 0
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_net_semantics_collapse(spark, warehouse, mode):
+    """Intermediate states inside the range are not replayed."""
+    t = LakeTable.create(spark, os.path.join(warehouse, f"n_{mode}"),
+                         num_buckets=4, merge_mode=mode)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "keep.py", c(1), 0, "upsert", "go", "k1", "s1"),
+    ]), epoch=0)
+    v1 = t._latest_version()
+    # key born and killed inside the range -> no net change
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "ephemeral.py", c(2), 0, "upsert", "go", "e1", "s2"),
+    ]), epoch=1)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "ephemeral.py", c(3), 0, "delete", None, None, None),
+        ("r1", "keep.py", c(3), 1, "upsert", "go", "k2", "s3"),
+    ]), epoch=2)
+    # updated twice -> single pre/post pair, post = final image
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "keep.py", c(4), 0, "upsert", "go", "k3", "s4"),
+    ]), epoch=3)
+    v4 = t._latest_version()
+
+    feed = _feed_changes(t, v1, v4)
+    assert feed == _oracle_changes(t, v1, v4)
+    assert ("r1", "ephemeral.py") not in feed
+    pair = feed[("r1", "keep.py")]
+    assert {ct for ct, _ in pair} == {"update_preimage", "update_postimage"}
+    post = next(img for ct, img in pair if ct == "update_postimage")
+    assert post[1] == "k3" and post[3] == c(4)
+
+
+def test_stale_duplicate_emits_nothing(spark, warehouse):
+    """A redelivered older-ord row adds a file (so its key is a candidate)
+    but pre == post -> the feed must stay empty."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "dup"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(5), 0, "upsert", "go", "v5", "s5"),
+    ]), epoch=0)
+    v1 = t._latest_version()
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "upsert", "go", "v2", "s2"),  # stale dup
+    ]), epoch=1)
+    v2 = t._latest_version()
+    assert table_changes(t, v1, v2).count() == 0
+
+
+def test_compact_and_ddl_commits_are_skipped(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "cmp"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "go", "v1", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "go", "w1", "s2"),
+    ]), epoch=0)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "upsert", "go", "v2", "s3"),
+    ]), epoch=1)
+    v_merge = t._latest_version()
+    t.compact()
+    v_compact = t._latest_version()
+    assert v_compact > v_merge
+    # compaction folds LWW dups but changes no live row -> empty feed
+    assert table_changes(t, v_merge, v_compact).count() == 0
+    # DDL commit: also invisible
+    t.add_column("stars", "bigint")
+    v_ddl = t._latest_version()
+    assert table_changes(t, v_merge, v_ddl).count() == 0
+    # a range spanning merge -> compact -> ddl still reports the merge
+    _assert_feed_matches_oracle(t, 0, v_ddl)
+
+
+def test_schema_evolution_binds_to_target_names(spark, warehouse):
+    """Rename between from and to: both images come out under to-names."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "evo"),
+                         num_buckets=4, merge_mode="cow")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "old", "s1"),
+    ]), epoch=0)
+    v1 = t._latest_version()
+    assert t.rename_column("content", "body")
+    acts = spark.createDataFrame(
+        [("r1", "a.py", c(2), 0, "upsert", "python", "new", "s2")],
+        "repo string, path string, commit string, event_seq bigint, "
+        "op string, lang string, body string, content_sha string",
+    )
+    t.merge_batch(acts, epoch=1)
+    v2 = t._latest_version()
+    feed = table_changes(t, v1, v2)
+    assert "body" in feed.columns and "content" not in feed.columns
+    rows = {r["_change_type"]: r for r in feed.collect()}
+    assert rows["update_preimage"]["body"] == "old"
+    assert rows["update_postimage"]["body"] == "new"
+
+
+def test_version_expired_after_vacuum(spark, warehouse):
+    t = LakeTable.create(spark, os.path.join(warehouse, "vac"),
+                         num_buckets=4, merge_mode="cow")
+    for e in range(5):
+        t.merge_batch(_mk_actions(spark, [
+            ("r1", "a.py", c(e + 1), 0, "upsert", "go", f"v{e}", "s"),
+        ]), epoch=e)
+    t.vacuum(keep_versions=2, grace_sec=0.0)
+    with pytest.raises(VersionExpired):
+        table_changes(t, 0, t._latest_version()).count()
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_incremental_view_matches_full_rebuild(spark, warehouse, tmp_path, mode):
+    t = LakeTable.create(spark, os.path.join(warehouse, f"iv_{mode}"),
+                         num_buckets=4, merge_mode=mode)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aaaa", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "python", "bb", "s2"),
+        ("r1", "c.go", c(1), 2, "upsert", "go", "cccccc", "s3"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / f"view_{mode}"),
+        group_cols=["lang"],
+        metrics={"n_files": "1", "total_bytes": "length(content)"},
+    )
+    assert view.refresh()["mode"] == "full"
+    assert view.refresh()["mode"] == "noop"
+
+    # churn: update, delete (kills the go group entirely), insert new group
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "upsert", "python", "aaaaaaaa", "s4"),
+        ("r1", "c.go", c(2), 1, "delete", None, None, None),
+        ("r1", "d.rs", c(2), 2, "upsert", "rust", "ddd", "s5"),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+
+    expected = {
+        (row["lang"]): (row["n_files"], row["total_bytes"])
+        for row in t.read()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_files"),
+             F.sum(F.length("content")).alias("total_bytes"))
+        .collect()
+    }
+    got = {
+        row["lang"]: (row["n_files"], row["total_bytes"])
+        for row in view.read().collect()
+    }
+    assert got == expected
+    assert "go" not in got  # zero-count group dropped, not left at 0
+
+    # second incremental round on top of the first
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "e.rs", c(3), 0, "upsert", "rust", "ee", "s6"),
+    ]), epoch=2)
+    assert view.refresh()["mode"] == "incremental"
+    assert {r["lang"]: r["n_files"] for r in view.read().collect()} == {
+        "python": 2, "rust": 2}
+
+
+def test_incremental_view_rebuilds_after_expiry(spark, warehouse, tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "ivx"),
+                         num_buckets=4, merge_mode="cow")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "go", "v1", "s1"),
+    ]), epoch=0)
+    view = IncrementalView(spark, t, str(tmp_path / "viewx"),
+                           group_cols=["lang"], metrics={"n_files": "1"})
+    view.refresh()
+    for e in range(1, 6):
+        t.merge_batch(_mk_actions(spark, [
+            ("r1", f"f{e}.go", c(e + 1), 0, "upsert", "go", "x", "s"),
+        ]), epoch=e)
+    t.vacuum(keep_versions=2, grace_sec=0.0)
+    r = view.refresh()
+    assert r["mode"] == "full"  # window lost -> clean rebuild, not a guess
+    assert view.read().collect()[0]["n_files"] == 6
