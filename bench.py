@@ -210,6 +210,38 @@ def main() -> None:
     except Exception as e:
         errors["ann_neardup"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Incremental view maintenance: small delta on a 2M-row lake —
+    # refresh-from-change-feed vs full rescan, same session, same window
+    ivm = None
+    try:
+        pre = wait_quiet() if wait_quiet else None
+        t0 = time.time()
+        s0_tot, s0_st = _steal_snap()
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench", "changefeed_bench.py"),
+             "--rows", "2000000", "--changes", "20000", "--cpus", "8"],
+            capture_output=True, text=True, timeout=900)
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"changefeed_bench rc={out.returncode}: {out.stderr[-300:]}")
+        ivm = json.loads(lines[-1])
+        s1_tot, s1_st = _steal_snap()
+        phase_ledger["ivm"] = {
+            "t_start_unix": round(t0, 1),
+            "wall_sec": round(time.time() - t0, 1),
+            "pre_steal_frac": None if pre is None else round(pre, 4),
+            "in_run_steal_frac": round(
+                (s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4),
+        }
+        qsecs["ivm_incremental_refresh_2m"] = ivm["incremental_refresh_sec"]
+        qsecs["ivm_full_rebuild_2m"] = ivm["full_rebuild_sec"]
+    except Exception as e:
+        errors["ivm"] = f"{type(e).__name__}: {e}"[:300]
+
     total = round(sum(qsecs.values()), 3)
     full = {
         "metric": "headline_queries_plus_cdc_replay_total_sec",
@@ -221,6 +253,7 @@ def main() -> None:
         "lsh_recall_at_10": lsh_recall_at_10,
         "margin_recall_at_10": margin_recall_at_10,
         "ann_neardup": ann,
+        "ivm": ivm,
         "sf": sf,
         "cdc": cdc,
         "cdc_cow": cdc_cow,
@@ -252,6 +285,7 @@ def main() -> None:
             "margin_recall": ann["margin_recall_at_k"],
             "margin_cost_vs_brute": ann["margin_cost_vs_brute"],
         },
+        "ivm_speedup_vs_rescan": ivm and ivm["speedup_vs_rescan"],
         "sf": sf,
         "cdc": {
             "mor_events_per_sec": cdc and cdc["events_per_sec"],

@@ -1,0 +1,170 @@
+"""Change-feed / incremental-view maintenance bench.
+
+The claim under test: after a small delta lands on a big table, an
+``IncrementalView.refresh()`` costs O(changes) — feed extraction plus a
+union-re-agg over |state| + |delta| — while the naive consumer (the
+reference's clustering pipeline, ``DataLoader.ts:45-48``) pays a full
+table rescan. Reports both walls and the ratio, on the same session, same
+table, same quiet window.
+
+    python bench/changefeed_bench.py --rows 2000000 --changes 20000 --cpus 8
+
+Prints one JSON line. Used by bench.py (subprocess, quiet-gated phase).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _base_df(spark, rows: int):
+    """Deterministic synthetic corpus: key space, 40-way repo spread,
+    content whose length varies by key so group metrics are non-trivial."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(rows)
+        .select(
+            F.concat(F.lit("repo-"), (F.col("id") % 40).cast("string")).alias("repo"),
+            F.concat(F.lit("src/f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+            F.lpad(F.hex(F.col("id")), 40, "0").alias("commit"),
+            F.col("id").alias("event_seq"),
+            F.lit("upsert").alias("op"),
+            F.element_at(
+                F.array(F.lit("python"), F.lit("go"), F.lit("rust"), F.lit("ts")),
+                ((F.col("id") % 4) + 1).cast("int"),
+            ).alias("lang"),
+            F.repeat(F.lit("x"), ((F.col("id") % 97) + 8).cast("int")).alias("content"),
+            F.lpad(F.hex(F.xxhash64(F.col("id"))), 64, "0").alias("content_sha"),
+        )
+    )
+
+
+def run(cpus: int, rows: int, changes: int, buckets: int,
+        merge_mode: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from skipmap_processor_spark.changefeed import IncrementalView, table_changes
+    from skipmap_processor_spark.lake import LakeTable
+    from skipmap_processor_spark.session import get_spark
+
+    scratch = f"/dev/shm/skipmap_cf_bench_{os.getpid()}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        driver_memory=f"{max(2 * cpus, 8)}g", app_name=f"cf-bench-{cpus}",
+        extra_conf={"spark.local.dir": os.path.join(scratch, "spark-local")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    lake = LakeTable.create(spark, os.path.join(scratch, "lake"),
+                            num_buckets=buckets, merge_mode=merge_mode)
+    lake.merge_batch(_base_df(spark, rows), epoch=0)
+
+    view = IncrementalView(
+        spark, lake, os.path.join(scratch, "view"),
+        group_cols=["lang"],
+        metrics={"n_files": "1", "total_bytes": "length(content)"},
+    )
+    t0 = time.monotonic()
+    assert view.refresh()["mode"] == "full"
+    full_build_sec = time.monotonic() - t0
+
+    # delta: updates on an evenly-spread key subset, 10% deletes, 10% new
+    # keys — every change class exercised, deterministic
+    n_upd = changes - 2 * (changes // 10)
+    stride = max(rows // max(n_upd, 1), 1)
+    upd = (
+        _base_df(spark, rows)
+        .filter((F.col("event_seq") % stride) == 0)
+        .limit(n_upd)
+        .withColumn("commit", F.lpad(F.hex(F.col("event_seq") + rows), 40, "1"))
+        .withColumn("event_seq", F.col("event_seq") + rows)
+        .withColumn("content", F.repeat(F.lit("y"),
+                                        ((F.col("event_seq") % 53) + 4).cast("int")))
+    )
+    dele = (
+        _base_df(spark, rows)
+        .filter((F.col("event_seq") % stride) == 1)
+        .limit(changes // 10)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("commit", F.lpad(F.hex(F.col("event_seq") + rows), 40, "2"))
+        .withColumn("event_seq", F.col("event_seq") + rows)
+    )
+    ins = (
+        spark.range(rows, rows + changes // 10)
+        .select(
+            F.concat(F.lit("repo-"), (F.col("id") % 40).cast("string")).alias("repo"),
+            F.concat(F.lit("src/g"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+            F.lpad(F.hex(F.col("id")), 40, "3").alias("commit"),
+            F.col("id").alias("event_seq"),
+            F.lit("upsert").alias("op"),
+            F.lit("zig").alias("lang"),
+            F.repeat(F.lit("z"), 16).alias("content"),
+            F.lpad(F.hex(F.xxhash64(F.col("id"))), 64, "0").alias("content_sha"),
+        )
+    )
+    delta = upd.unionByName(dele).unionByName(ins)
+    n_delta = delta.count()
+    v_pre = lake._latest_version()
+    lake.merge_batch(delta, epoch=1)
+    v_post = lake._latest_version()
+
+    # feed extraction alone (the primitive every consumer shares)
+    t0 = time.monotonic()
+    n_changes_out = table_changes(lake, v_pre, v_post).count()
+    feed_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    r = view.refresh()
+    incremental_sec = time.monotonic() - t0
+    assert r["mode"] == "incremental", r
+
+    # the naive consumer: full rebuild at the same final version
+    naive = IncrementalView(
+        spark, lake, os.path.join(scratch, "view_naive"),
+        group_cols=["lang"],
+        metrics={"n_files": "1", "total_bytes": "length(content)"},
+    )
+    t0 = time.monotonic()
+    assert naive.refresh()["mode"] == "full"
+    full_rebuild_sec = time.monotonic() - t0
+
+    # equivalence: the incremental state must equal the rebuilt state
+    a = {tuple(x) for x in view.read().collect()}
+    b = {tuple(x) for x in naive.read().collect()}
+    assert a == b, "incremental state diverged from full rebuild"
+
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return {
+        "cpus": cpus,
+        "rows": rows,
+        "delta_rows": n_delta,
+        "feed_change_rows": n_changes_out,
+        "merge_mode": merge_mode,
+        "full_build_sec": round(full_build_sec, 3),
+        "feed_extract_sec": round(feed_sec, 3),
+        "incremental_refresh_sec": round(incremental_sec, 3),
+        "full_rebuild_sec": round(full_rebuild_sec, 3),
+        "speedup_vs_rescan": round(full_rebuild_sec / max(incremental_sec, 1e-9), 2),
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--changes", type=int, default=20_000)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    args = ap.parse_args()
+    print(json.dumps(run(args.cpus, args.rows, args.changes, args.buckets,
+                         args.mode)))

@@ -125,23 +125,28 @@ def _image(lake: LakeTable, version: int, mani_to: dict,
     mani_v = _manifest_or_expired(lake, version)
     files = lake.file_entries(mani_v, buckets=buckets)
     df = lake._read_files(mani_to, files)
+    # candidate-bounded BEFORE the LWW fold: the window partitions by the
+    # same key the join bounds, so join-below-window is semantics-preserving
+    # — and Catalyst will not reorder an inner join under a window itself.
+    # Ordering matters at scale: a uniform delta touches every bucket, and
+    # folding first would shuffle the whole affected-bucket row set; joining
+    # first (AQE broadcasts the key set in the steady-state small-delta
+    # case) makes the shuffle O(candidate rows).
+    df = df.join(keys, KEY_COLS, "inner")
     # LWW fold — unconditional: pre-images of MOR tables need it, and for
     # an already-folded (CoW / freshly compacted) image it reduces to one
-    # row per key at the cost of a window over pruned buckets only
+    # row per key
     from pyspark.sql import Window
 
     w = Window.partitionBy(*KEY_COLS).orderBy(
         F.col("commit").desc(), F.col("event_seq").desc(),
         F.col("_epoch").desc(),
     )
-    df = (
+    return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # candidate-bounded: inner join against the (distinct) key set; AQE
-    # broadcasts it when small, which is the steady-state MOR case
-    return df.join(keys, KEY_COLS, "inner")
 
 
 def table_changes(lake: LakeTable, from_version: int,
@@ -151,7 +156,10 @@ def table_changes(lake: LakeTable, from_version: int,
     Returns one row per (key, change) with ``_change_type`` in
     ``insert | delete | update_preimage | update_postimage`` (Delta CDF
     naming), payload columns bound to the ``to`` snapshot's schema, and
-    the image row's ``commit``/``event_seq``. Net semantics: a key
+    the image row's ``commit``/``event_seq`` — except ``delete`` rows,
+    which carry the pre-image payload with the TOMBSTONE's ord (the ord
+    at which the deletion happened; replaying the feed as actions needs
+    it to out-order the dying row). Net semantics: a key
     upserted five times and deleted within the range emits nothing if it
     was absent at ``from``; intermediate versions are not replayed — this
     is the contract incremental view maintenance needs, and the cheap one
@@ -220,19 +228,29 @@ def table_changes(lake: LakeTable, from_version: int,
         | (F.col("_pre_event_seq") != F.col("_post_event_seq"))
     )
 
-    def _struct(side: str, ctype: str):
+    def _struct(side: str, ctype: str, ord_side: str | None = None):
+        # A delete's payload is the pre-image, but its ORD is the
+        # tombstone's (post side): that is when the deletion happened, and
+        # a downstream replaying the feed as actions needs an ord STRICTLY
+        # above the pre row's or the LWW gate keeps the stale row alive.
+        # coalesce covers the pathological case of a tombstone GC'd by a
+        # retention compact inside the very range that created it.
+        ord_side = ord_side or side
         return F.struct(
             *[F.col(c).alias(c) for c in KEY_COLS],
             *[F.col(f"_{side}_{c}").alias(c) for c in payload],
-            F.col(f"_{side}_commit").alias("commit"),
-            F.col(f"_{side}_event_seq").alias("event_seq"),
+            F.coalesce(F.col(f"_{ord_side}_commit"),
+                       F.col(f"_{side}_commit")).alias("commit"),
+            F.coalesce(F.col(f"_{ord_side}_event_seq"),
+                       F.col(f"_{side}_event_seq")).alias("event_seq"),
             F.lit(ctype).alias("_change_type"),
         )
 
     upd = pre_alive & post_alive & ord_changed
     rows = F.array(
         F.when(post_alive & ~pre_alive, _struct("post", "insert")),
-        F.when(pre_alive & ~post_alive, _struct("pre", "delete")),
+        F.when(pre_alive & ~post_alive,
+               _struct("pre", "delete", ord_side="post")),
         F.when(upd, _struct("pre", "update_preimage")),
         F.when(upd, _struct("post", "update_postimage")),
     )
@@ -241,6 +259,143 @@ def table_changes(lake: LakeTable, from_version: int,
         .filter(F.col("_c").isNotNull())
         .select("_c.*")
     )
+
+
+class StaleDownstream(Exception):
+    """The downstream fell behind upstream's tombstone retention: keys
+    deleted upstream no longer have tombstones to replay, so an exact
+    resync is impossible. Rebuild the downstream from a fresh table."""
+
+
+class FeedFollower:
+    """Maintain a derived :class:`LakeTable` from an upstream lake's change
+    feed — the Delta "stream from a table" / cascade pattern, at
+    O(changes) per sync.
+
+    Exactly-once without a coordinator: the upstream-version cursor is
+    written into the *downstream* manifest in the SAME commit as the merge
+    (``post_commit_mutate``) — cursor and data are one atomic manifest CAS,
+    so a crash either applied nothing or moved the cursor with the data.
+    Downstream merge epochs are DENSE (``hwm+1``), not upstream versions:
+    upstream versions skip numbers (DDL/compact commits, multi-version
+    catch-ups), and sparse epochs would pin the downstream retention
+    horizon on phantom gaps. Two followers racing the same range are safe
+    twice over: same-epoch losers hit the HWM gate, and even a full
+    double-apply of the same net changes is row-level idempotent under the
+    ord gate (equal ords keep the target).
+
+    ``transform`` (optional) maps the upsert-shaped action frame (net
+    changes with an ``op`` column) before the merge — filtered/projected
+    derived tables. It must be deterministic and must not drop the key/ord
+    columns. For a PREDICATE-filtered view, rewrite rows failing the
+    predicate to ``op='delete'`` instead of dropping them — an update can
+    move a key out of the predicate, and dropping that change would leave
+    the stale pre-image alive downstream (the classic filtered-IVM trap).
+    Schema DDL does not flow through the feed: apply upstream
+    add/rename/drop to the downstream table before syncing past them.
+
+    Reference parity: the reference cascades object removals into
+    referencing rows imperatively per batch
+    (``PostgreSQLClusteringDatabase.ts:314-357``); this is the same
+    downstream-maintenance contract expressed as feed -> MERGE.
+    """
+
+    CURSOR_PROP = "upstream_cursor"
+
+    def __init__(self, upstream: LakeTable, downstream: LakeTable,
+                 transform=None):
+        self.upstream = upstream
+        self.downstream = downstream
+        self.transform = transform
+
+    def cursor(self) -> int | None:
+        v = self.downstream.manifest()["properties"].get(self.CURSOR_PROP)
+        return None if v is None else int(v)
+
+    def _next_epoch(self) -> int:
+        return int(self.downstream.manifest()["properties"]["hwm_epoch"]) + 1
+
+    def _feed_to_actions(self, feed: DataFrame) -> DataFrame:
+        acts = (
+            feed.filter(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete",
+                       F.lit("delete")).otherwise(F.lit("upsert")),
+            )
+            .drop("_change_type")
+        )
+        if self.transform is not None:
+            acts = self.transform(acts)
+        return acts
+
+    def sync(self) -> dict:
+        """Advance the downstream to upstream's latest committed version.
+        First call (no cursor) bootstraps from the full snapshot; a cursor
+        older than upstream's retention window raises through
+        ``resync_full`` (exact while tombstone retention covers the gap)."""
+        latest = self.upstream._latest_version()
+        cur = self.cursor()
+        if cur is not None and cur == latest:
+            return {"mode": "noop", "cursor": latest}
+        if cur is None:
+            return self.resync_full()
+        try:
+            feed = table_changes(self.upstream, cur, latest)
+        except VersionExpired:
+            return self.resync_full()
+        acts = self._feed_to_actions(feed)
+
+        def mark(mani: dict) -> None:
+            mani["properties"][self.CURSOR_PROP] = latest
+
+        r = self.downstream.merge_batch(acts, epoch=self._next_epoch(),
+                                        post_commit_mutate=mark)
+        if r.get("skipped"):
+            # a concurrent follower claimed this epoch first — its commit
+            # carried a cursor at least as new
+            return {"mode": "noop", "cursor": latest}
+        return {"mode": "incremental", "cursor": latest,
+                "from_cursor": cur}
+
+    def resync_full(self) -> dict:
+        """Replay upstream's full state (tombstones included, at their true
+        ords — so stale downstream rows lose exactly the LWW races they
+        should). Exact as long as upstream tombstone retention covers every
+        deletion the downstream has not yet seen; a key alive downstream
+        with neither a live row nor a tombstone upstream is unreachable by
+        replay and raises :class:`StaleDownstream`."""
+        latest = self.upstream._latest_version()
+        snap = self.upstream.read(version=latest, include_deleted=True,
+                                  with_engine_cols=True)
+        acts = snap.withColumn(
+            "op",
+            F.when(F.col("is_deleted"), F.lit("delete"))
+            .otherwise(F.lit("upsert")),
+        ).drop("is_deleted", "_epoch")
+        if self.transform is not None:
+            acts = self.transform(acts)
+        zombies = (
+            self.downstream.read()
+            .select(*KEY_COLS)
+            .join(acts.select(*KEY_COLS), KEY_COLS, "left_anti")
+            .count()
+        )
+        if zombies:
+            raise StaleDownstream(
+                f"{zombies} downstream keys have no upstream row or "
+                "tombstone (retention window passed); rebuild the "
+                "downstream table"
+            )
+
+        def mark(mani: dict) -> None:
+            mani["properties"][self.CURSOR_PROP] = latest
+
+        r = self.downstream.merge_batch(acts, epoch=self._next_epoch(),
+                                        post_commit_mutate=mark)
+        if r.get("skipped"):
+            return {"mode": "noop", "cursor": latest}
+        return {"mode": "full", "cursor": latest}
 
 
 class IncrementalView:

@@ -33,25 +33,34 @@ def c(i: int) -> str:
     return f"{i:016x}" + "a" * 24
 
 
-def _snapshot(t: LakeTable, version: int) -> dict:
-    """Oracle: live view at a version as {key: (payload..., commit, seq)}."""
-    rows = t.read(version=version, with_engine_cols=True).collect()
-    return {
+def _snapshot(t: LakeTable, version: int) -> tuple[dict, dict]:
+    """Oracle: (live rows, tombstone ords) at a version."""
+    rows = t.read(version=version, with_engine_cols=True,
+                  include_deleted=True).collect()
+    live = {
         (r["repo"], r["path"]): (r["lang"], r["content"], r["content_sha"],
                                  r["commit"], r["event_seq"])
-        for r in rows
+        for r in rows if not r["is_deleted"]
     }
+    tombs = {
+        (r["repo"], r["path"]): (r["commit"], r["event_seq"])
+        for r in rows if r["is_deleted"]
+    }
+    return live, tombs
 
 
 def _oracle_changes(t: LakeTable, v_from: int, v_to: int) -> dict:
-    pre, post = _snapshot(t, v_from), _snapshot(t, v_to)
+    pre, _ = _snapshot(t, v_from)
+    post, post_tombs = _snapshot(t, v_to)
     out: dict = {}
     for k in pre.keys() | post.keys():
         a, b = pre.get(k), post.get(k)
         if a is None and b is not None:
             out[k] = {("insert", b)}
         elif a is not None and b is None:
-            out[k] = {("delete", a)}
+            # delete: pre payload, tombstone ord (pre ord if GC'd)
+            ordv = post_tombs.get(k, (a[3], a[4]))
+            out[k] = {("delete", a[:3] + ordv)}
         elif a != b:
             out[k] = {("update_preimage", a), ("update_postimage", b)}
     return out
@@ -229,9 +238,11 @@ def test_incremental_view_matches_full_rebuild(spark, warehouse, tmp_path, mode)
     assert view.refresh()["mode"] == "full"
     assert view.refresh()["mode"] == "noop"
 
-    # churn: update, delete (kills the go group entirely), insert new group
+    # churn: update, group-moving update (python -> ts: -pre from one
+    # group, +post to another), delete (kills the go group), insert
     t.merge_batch(_mk_actions(spark, [
         ("r1", "a.py", c(2), 0, "upsert", "python", "aaaaaaaa", "s4"),
+        ("r1", "b.py", c(2), 3, "upsert", "ts", "bb2", "s6"),
         ("r1", "c.go", c(2), 1, "delete", None, None, None),
         ("r1", "d.rs", c(2), 2, "upsert", "rust", "ddd", "s5"),
     ]), epoch=1)
@@ -259,7 +270,7 @@ def test_incremental_view_matches_full_rebuild(spark, warehouse, tmp_path, mode)
     ]), epoch=2)
     assert view.refresh()["mode"] == "incremental"
     assert {r["lang"]: r["n_files"] for r in view.read().collect()} == {
-        "python": 2, "rust": 2}
+        "python": 1, "ts": 1, "rust": 2}
 
 
 def test_incremental_view_rebuilds_after_expiry(spark, warehouse, tmp_path):
@@ -279,3 +290,131 @@ def test_incremental_view_rebuilds_after_expiry(spark, warehouse, tmp_path):
     r = view.refresh()
     assert r["mode"] == "full"  # window lost -> clean rebuild, not a guess
     assert view.read().collect()[0]["n_files"] == 6
+
+
+# ----------------------------------------------------------- FeedFollower
+
+def _live(t: LakeTable) -> set:
+    return {tuple(r) for r in t.read().collect()}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_follower_cascade_equals_upstream(spark, warehouse, mode):
+    from skipmap_processor_spark.changefeed import FeedFollower
+
+    up = LakeTable.create(spark, os.path.join(warehouse, f"up_{mode}"),
+                          num_buckets=4, merge_mode=mode)
+    down = LakeTable.create(spark, os.path.join(warehouse, f"dn_{mode}"),
+                            num_buckets=4, merge_mode=mode)
+    f = FeedFollower(up, down)
+
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "v1", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "go", "w1", "s2"),
+    ]), epoch=0)
+    assert f.sync()["mode"] == "full"     # bootstrap
+    assert _live(down) == _live(up)
+    assert f.sync()["mode"] == "noop"
+
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "upsert", "python", "v2", "s3"),
+        ("r1", "b.py", c(2), 1, "delete", None, None, None),
+        ("r1", "c.py", c(2), 2, "upsert", "rust", "x1", "s4"),
+    ]), epoch=1)
+    r = f.sync()
+    assert r["mode"] == "incremental"
+    assert _live(down) == _live(up)
+
+    # multi-version catch-up in one sync
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "c.py", c(3), 0, "upsert", "rust", "x2", "s5"),
+    ]), epoch=2)
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(4), 0, "delete", None, None, None),
+    ]), epoch=3)
+    assert f.sync()["mode"] == "incremental"
+    assert _live(down) == _live(up)
+    # redelivery: a second follower instance sees the committed cursor
+    f2 = FeedFollower(up, down)
+    assert f2.sync()["mode"] == "noop"
+
+
+def test_follower_filtered_view_transform(spark, warehouse):
+    """Predicate view: updates moving a key out of the predicate become
+    deletes downstream (not silently dropped)."""
+    from skipmap_processor_spark.changefeed import FeedFollower
+
+    up = LakeTable.create(spark, os.path.join(warehouse, "upf"),
+                          num_buckets=4, merge_mode="cow")
+    down = LakeTable.create(spark, os.path.join(warehouse, "dnf"),
+                            num_buckets=4, merge_mode="cow")
+
+    def only_python(acts):
+        keep = (F.col("op") == "delete") | (F.col("lang") == "python")
+        return acts.withColumn(
+            "op", F.when(keep, F.col("op")).otherwise(F.lit("delete")))
+
+    f = FeedFollower(up, down, transform=only_python)
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "v1", "s1"),
+        ("r1", "b.go", c(1), 1, "upsert", "go", "w1", "s2"),
+    ]), epoch=0)
+    f.sync()
+    assert {r["path"] for r in down.read().collect()} == {"a.py"}
+
+    # a.py leaves the predicate via an update -> must disappear downstream
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "upsert", "go", "v2", "s3"),
+    ]), epoch=1)
+    f.sync()
+    assert down.read().count() == 0
+
+
+def test_follower_resync_after_vacuum(spark, warehouse):
+    from skipmap_processor_spark.changefeed import FeedFollower
+
+    up = LakeTable.create(spark, os.path.join(warehouse, "upv"),
+                          num_buckets=4, merge_mode="cow")
+    down = LakeTable.create(spark, os.path.join(warehouse, "dnv"),
+                            num_buckets=4, merge_mode="cow")
+    f = FeedFollower(up, down)
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "go", "v1", "s1"),
+    ]), epoch=0)
+    f.sync()
+    for e in range(1, 6):
+        up.merge_batch(_mk_actions(spark, [
+            ("r1", "a.py", c(e + 1), 0, "upsert", "go", f"v{e}", "s"),
+            ("r1", f"f{e}.go", c(e + 1), 1, "upsert", "go", "x", "s"),
+        ]), epoch=e)
+    up.vacuum(keep_versions=2, grace_sec=0.0)
+    r = f.sync()
+    assert r["mode"] == "full"  # cursor's manifest gone -> snapshot replay
+    assert _live(down) == _live(up)
+    assert f.sync()["mode"] == "noop"
+
+
+def test_follower_stale_downstream_raises(spark, warehouse):
+    from skipmap_processor_spark.changefeed import FeedFollower, StaleDownstream
+
+    up = LakeTable.create(spark, os.path.join(warehouse, "ups"),
+                          num_buckets=4, merge_mode="mor")
+    down = LakeTable.create(spark, os.path.join(warehouse, "dns"),
+                            num_buckets=4, merge_mode="mor")
+    f = FeedFollower(up, down)
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "doomed.py", c(1), 0, "upsert", "go", "v1", "s1"),
+    ]), epoch=0)
+    f.sync()
+    up.merge_batch(_mk_actions(spark, [
+        ("r1", "doomed.py", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    for e in range(2, 6):
+        up.merge_batch(_mk_actions(spark, [
+            ("r1", f"f{e}.go", c(e + 1), 0, "upsert", "go", "x", "s"),
+        ]), epoch=e)
+    # GC the tombstone, then expire the manifests the cursor needs
+    up.compact(retention_epochs=1)
+    up.vacuum(keep_versions=1, grace_sec=0.0)
+    with pytest.raises(StaleDownstream):
+        f.sync()
