@@ -117,25 +117,9 @@ def _added_entries(lake: LakeTable, from_version: int,
     return uniq
 
 
-def _image(lake: LakeTable, version: int, mani_to: dict,
-           buckets: list[int], keys: DataFrame) -> DataFrame:
-    """LWW-resolved row per candidate key at ``version``, with every
-    column bound (by field id) to the ``to``-version schema so pre and
-    post images join on identical names even across column renames."""
-    mani_v = _manifest_or_expired(lake, version)
-    files = lake.file_entries(mani_v, buckets=buckets)
-    df = lake._read_files(mani_to, files)
-    # candidate-bounded BEFORE the LWW fold: the window partitions by the
-    # same key the join bounds, so join-below-window is semantics-preserving
-    # — and Catalyst will not reorder an inner join under a window itself.
-    # Ordering matters at scale: a uniform delta touches every bucket, and
-    # folding first would shuffle the whole affected-bucket row set; joining
-    # first (AQE broadcasts the key set in the steady-state small-delta
-    # case) makes the shuffle O(candidate rows).
-    df = df.join(keys, KEY_COLS, "inner")
-    # LWW fold — unconditional: pre-images of MOR tables need it, and for
-    # an already-folded (CoW / freshly compacted) image it reduces to one
-    # row per key
+def _lww_fold(df: DataFrame) -> DataFrame:
+    """One LWW-winning row per key (tombstones included). Associative:
+    fold(fold(A) ∪ B) == fold(A ∪ B) — the post image exploits this."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*KEY_COLS).orderBy(
@@ -190,20 +174,41 @@ def table_changes(lake: LakeTable, from_version: int,
         return _empty()
 
     nb = int(mani_to["num_buckets"])
-    cand_df = lake._read_files(mani_to, cand)
-    # materialize the candidate key set ONCE (it feeds the bucket probe and
-    # both image joins); localCheckpoint breaks lineage so the scan of the
-    # candidate files doesn't re-run per consumer, and the blocks are freed
-    # by the ContextCleaner when the feed DataFrame goes out of scope
-    keys = cand_df.select(*KEY_COLS).distinct().localCheckpoint(eager=True)
+    # materialize the candidate rows ONCE (delta-sized for MOR; rewritten-
+    # bucket-sized for CoW — the Delta/Iceberg CDF cost model, MOR is the
+    # cheap feed path). localCheckpoint (MEMORY_AND_DISK) breaks lineage so
+    # the scan never re-runs per consumer; blocks are freed by the
+    # ContextCleaner when the feed DataFrame goes out of scope.
+    cand_df = lake._read_files(mani_to, cand).localCheckpoint(eager=True)
+    keys = cand_df.select(*KEY_COLS).distinct()
     # bucket list is bounded by num_buckets — a driver-side collect of at
     # most nb small ints, same pattern as LakeTable.lookup
     buckets = sorted(
         r["_b"]
         for r in keys.select(bucket_expr(nb).alias("_b")).distinct().collect()
     )
-    pre = _image(lake, from_version, mani_to, buckets, keys)
-    post = _image(lake, to_version, mani_to, buckets, keys)
+    # ONE historical scan builds BOTH images: files_at_to is files_at_from
+    # plus the added (candidate) files, minus compact replacements — and
+    # compact commits are logical no-ops for the live view, so
+    #   pre  = fold(base)            base = from-version rows, candidate-
+    #   post = fold(base ∪ cand)            bounded & bucket-pruned
+    # is exact for MOR (pure appends) AND CoW (rewrites carry the winning
+    # row at >= the old ord; the LWW fold picks it). The naive alternative
+    # (scan both endpoint versions) reads the affected buckets twice.
+    # Candidate-bounding runs BELOW the fold: the join and the window share
+    # the key, so join-below-window is semantics-preserving, and Catalyst
+    # will not reorder a join under a window itself — AQE broadcasts the
+    # key set in the steady-state small-delta case, so the fold shuffles
+    # O(candidate rows), never O(affected-bucket rows).
+    mani_from = _manifest_or_expired(lake, from_version)
+    base = (
+        lake._read_files(mani_to,
+                         lake.file_entries(mani_from, buckets=buckets))
+        .join(keys, KEY_COLS, "inner")
+        .localCheckpoint(eager=True)
+    )
+    pre = _lww_fold(base)
+    post = _lww_fold(base.unionByName(cand_df))
 
     p = pre.select(
         *KEY_COLS,
