@@ -48,6 +48,23 @@ def _steal_frac(leg: dict) -> float:
     return leg["steal_sec"] / max(leg["wall_sec"] * NCPU, 1e-9)
 
 
+def _foreign_frac(leg: dict) -> float:
+    """In-host CPU burned by processes OUTSIDE the leg's own tree, as a
+    fraction of host capacity during the leg.
+
+    The hypervisor-steal gate (`_steal_frac`) cannot see a co-resident
+    process inside the same VM (e.g. a leftover JVM from an unrelated test
+    run): /proc/stat's steal field only counts cycles the HYPERVISOR took.
+    `cpu_sec` (host busy) minus `proc_cpu_sec` (leg process tree) is
+    everything else that ran in the VM during the leg — kernel/irq overhead
+    plus any foreign process. A clean leg measures 0.5-1.5% here (kernel +
+    page-cache work on behalf of the leg); a co-resident CPU burner shows
+    up directly. Caught live in round 4: a 4-core test-suite JVM leaked
+    into a leg window at 6.8% foreign, passed the steal gate at 0.3%."""
+    return ((leg["cpu_sec"] - leg["proc_cpu_sec"])
+            / max(leg["wall_sec"] * NCPU, 1e-9))
+
+
 def main() -> None:
     kill_stray_probes()
     ap = argparse.ArgumentParser()
@@ -64,6 +81,11 @@ def main() -> None:
     ap.add_argument("--in-flight", type=int, default=1,
                     help="concurrent epoch applies per leg (backfill mode)")
     ap.add_argument("--max-steal-frac", type=float, default=0.02)
+    ap.add_argument("--max-foreign-frac", type=float, default=0.03,
+                    help="max in-host non-leg CPU (kernel + foreign "
+                         "processes) as a fraction of host capacity; "
+                         "catches co-resident burners the hypervisor-steal "
+                         "gate cannot see")
     ap.add_argument("--quiet-threshold", type=float, default=0.02)
     ap.add_argument("--max-wall-s", type=float, default=10800)
     ap.add_argument("--max-attempts", type=int, default=24)
@@ -116,7 +138,10 @@ def main() -> None:
             continue
         small, big = legs[args.n], legs[args.n * 4]
         fr_small, fr_big = _steal_frac(small), _steal_frac(big)
-        ok = fr_small < args.max_steal_frac and fr_big < args.max_steal_frac
+        fo_small, fo_big = _foreign_frac(small), _foreign_frac(big)
+        ok = (fr_small < args.max_steal_frac and fr_big < args.max_steal_frac
+              and fo_small < args.max_foreign_frac
+              and fo_big < args.max_foreign_frac)
         pair = {
             "ts": time.time(),
             "sig": sig,
@@ -124,6 +149,8 @@ def main() -> None:
             "pre_steal_frac": round(pre, 4),
             "steal_frac_small": round(fr_small, 4),
             "steal_frac_big": round(fr_big, 4),
+            "foreign_frac_small": round(fo_small, 4),
+            "foreign_frac_big": round(fo_big, 4),
             "valid": ok,
             "eff_wall": round(
                 (big["events_per_sec"] / small["events_per_sec"]) / 4, 4),
@@ -143,6 +170,7 @@ def main() -> None:
         print(f"# pair {attempt} ({pair['order']}): steady "
               f"{pair['eff_steady']} cpu {pair['eff_cpu']} "
               f"steal {fr_small:.3f}/{fr_big:.3f} "
+              f"foreign {fo_small:.3f}/{fo_big:.3f} "
               f"{'VALID' if ok else 'dirty'} ({len(valid)}/{args.pairs})",
               file=sys.stderr, flush=True)
 
@@ -175,8 +203,11 @@ JVMs, {args.warmup} untimed warmup epochs each. Each PAIR runs
 back-to-back inside one verified-quiet window (<{args.quiet_threshold:.0%}
 loaded steal probed immediately before leg 1), leg order alternating
 across pairs; a pair only counts when BOTH legs' own in-run steal ledgers
-are < {args.max_steal_frac:.0%} of host CPU. **The headline is the MEDIAN
-valid pair — no post-hoc window matching, no best-of.**
+are < {args.max_steal_frac:.0%} of host CPU AND each leg's in-host
+foreign CPU (host busy minus the leg's own process tree — catches
+co-resident burners the hypervisor-steal counter cannot see) is
+< {args.max_foreign_frac:.0%} of host capacity. **The headline is the
+MEDIAN valid pair — no post-hoc window matching, no best-of.**
 
 Campaign: {attempt} pairs attempted, {len(valid)} valid
 (both-legs-clean); every leg (dirty ones included) is in
@@ -203,14 +234,16 @@ both legs, amortized to ~0 over a 10^10-event stream).
 
 ## Per-pair detail
 
-| # | order | eff steady | eff wall | eff cpu | steal A/B | valid |
-|---|---|---|---|---|---|---|
+| # | order | eff steady | eff wall | eff cpu | steal A/B | foreign A/B | valid |
+|---|---|---|---|---|---|---|---|
 """)
         for i, p in enumerate(
                 sorted(valid, key=lambda p: p["ts"]), 1):
             f.write(f"| {i} | {p['order']} | {p['eff_steady']} | "
                     f"{p['eff_wall']} | {p['eff_cpu']} | "
                     f"{p['steal_frac_small']}/{p['steal_frac_big']} | "
+                    f"{p.get('foreign_frac_small', '')}/"
+                    f"{p.get('foreign_frac_big', '')} | "
                     f"yes |\n")
         f.write(f"""
 ## Environment caveat (measured, affects wall-clock only)
