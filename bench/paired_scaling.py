@@ -37,6 +37,7 @@ from datetime import datetime, timezone
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import hostprobe  # noqa: E402
 from bench.scaling import kill_stray_probes, run_one, wait_quiet  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -87,8 +88,17 @@ def main() -> None:
                          "catches co-resident burners the hypervisor-steal "
                          "gate cannot see")
     ap.add_argument("--quiet-threshold", type=float, default=0.02)
+    ap.add_argument("--min-cpu-headroom", type=float, default=0.90,
+                    help="min N->4N scaling of a cache-resident sha256 "
+                         "kernel for the window to be usable (1.0 = "
+                         "linear); below it the HOST cannot scale and no "
+                         "engine measurement can evidence the 0.8 gate")
+    ap.add_argument("--min-mem-headroom", type=float, default=0.85,
+                    help="min N->4N scaling of a private-array streaming "
+                         "sum (socket memory bandwidth); the co-tenancy "
+                         "failure mode the steal counter cannot see")
     ap.add_argument("--max-wall-s", type=float, default=10800)
-    ap.add_argument("--max-attempts", type=int, default=24)
+    ap.add_argument("--max-attempts", type=int, default=48)
     args = ap.parse_args()
 
     smult = os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")
@@ -103,6 +113,20 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     pairs_path = os.path.join(REPO, "BENCH", "paired_pairs.jsonl")
+    phase_path = os.path.join(REPO, "BENCH", "host_phase.jsonl")
+
+    def host_probe(tag: str) -> dict:
+        """Independent host-capability probe; every sample is ledgered so
+        skipped windows are PROVEN unusable, not silently discarded."""
+        pr = hostprobe.probe(args.n, args.n * 4)
+        pr["tag"] = tag
+        with open(phase_path, "a") as f:
+            f.write(json.dumps(pr) + "\n")
+        return pr
+
+    def probe_ok(pr: dict) -> bool:
+        return (pr["cpu_headroom"] >= args.min_cpu_headroom
+                and pr["mem_headroom"] >= args.min_mem_headroom)
 
     def leg(cpus: int) -> dict | None:
         r = run_one(cpus, args.keys, args.events, args.epochs, args.mode,
@@ -125,6 +149,14 @@ def main() -> None:
         a_first = attempt % 2 == 1
         pre = wait_quiet(threshold=args.quiet_threshold,
                          max_wait_s=min(1800, args.max_wall_s / 4))
+        pre_probe = host_probe("pre")
+        if not probe_ok(pre_probe):
+            print(f"# pair {attempt}: host headroom too low "
+                  f"(cpu {pre_probe['cpu_headroom']}, "
+                  f"mem {pre_probe['mem_headroom']}) — window unusable, "
+                  f"ledgered and retrying", file=sys.stderr, flush=True)
+            time.sleep(60)
+            continue
         order = ([args.n, args.n * 4] if a_first else [args.n * 4, args.n])
         legs = {}
         for cpus in order:
@@ -137,11 +169,15 @@ def main() -> None:
                   file=sys.stderr, flush=True)
             continue
         small, big = legs[args.n], legs[args.n * 4]
+        post_probe = host_probe("post")
         fr_small, fr_big = _steal_frac(small), _steal_frac(big)
         fo_small, fo_big = _foreign_frac(small), _foreign_frac(big)
         ok = (fr_small < args.max_steal_frac and fr_big < args.max_steal_frac
               and fo_small < args.max_foreign_frac
-              and fo_big < args.max_foreign_frac)
+              and fo_big < args.max_foreign_frac
+              # pre+post probes bracket the window: a host phase rotating
+              # mid-pair (degrading one leg only) fails the post probe
+              and probe_ok(post_probe))
         pair = {
             "ts": time.time(),
             "sig": sig,
@@ -151,6 +187,12 @@ def main() -> None:
             "steal_frac_big": round(fr_big, 4),
             "foreign_frac_small": round(fo_small, 4),
             "foreign_frac_big": round(fo_big, 4),
+            "pre_probe": {k: pre_probe[k] for k in
+                          ("cpu_headroom", "mem_headroom",
+                           "cpu_rate_small", "mem_rate_small")},
+            "post_probe": {k: post_probe[k] for k in
+                           ("cpu_headroom", "mem_headroom",
+                            "cpu_rate_small", "mem_rate_small")},
             "valid": ok,
             "eff_wall": round(
                 (big["events_per_sec"] / small["events_per_sec"]) / 4, 4),
@@ -171,6 +213,9 @@ def main() -> None:
               f"{pair['eff_steady']} cpu {pair['eff_cpu']} "
               f"steal {fr_small:.3f}/{fr_big:.3f} "
               f"foreign {fo_small:.3f}/{fo_big:.3f} "
+              f"headroom pre {pre_probe['cpu_headroom']}/"
+              f"{pre_probe['mem_headroom']} post "
+              f"{post_probe['cpu_headroom']}/{post_probe['mem_headroom']} "
               f"{'VALID' if ok else 'dirty'} ({len(valid)}/{args.pairs})",
               file=sys.stderr, flush=True)
 
@@ -206,8 +251,16 @@ across pairs; a pair only counts when BOTH legs' own in-run steal ledgers
 are < {args.max_steal_frac:.0%} of host CPU AND each leg's in-host
 foreign CPU (host busy minus the leg's own process tree — catches
 co-resident burners the hypervisor-steal counter cannot see) is
-< {args.max_foreign_frac:.0%} of host capacity. **The headline is the
-MEDIAN valid pair — no post-hoc window matching, no best-of.**
+< {args.max_foreign_frac:.0%} of host capacity AND an independent
+host-capability probe (`bench/hostprobe.py`: sha256 cache-resident kernel
++ 256 MiB private streaming sum, each run at {args.n} and {args.n * 4}
+processes, zero cross-process communication) run immediately BEFORE and
+AFTER the pair shows the host itself scaling the trivial kernels at
+>= {args.min_cpu_headroom}/{args.min_mem_headroom} (cpu/mem) — a window
+where a private-buffer streaming sum cannot scale 4x cannot evidence any
+engine's scaling, and every probe sample (usable or not) is ledgered in
+`BENCH/host_phase.jsonl`. **The headline is the MEDIAN valid pair — no
+post-hoc window matching, no best-of.**
 
 Campaign: {attempt} pairs attempted, {len(valid)} valid
 (both-legs-clean); every leg (dirty ones included) is in
@@ -234,16 +287,19 @@ both legs, amortized to ~0 over a 10^10-event stream).
 
 ## Per-pair detail
 
-| # | order | eff steady | eff wall | eff cpu | steal A/B | foreign A/B | valid |
-|---|---|---|---|---|---|---|---|
+| # | order | eff steady | eff wall | eff cpu | steal A/B | foreign A/B | probe cpu/mem (pre;post) | valid |
+|---|---|---|---|---|---|---|---|---|
 """)
         for i, p in enumerate(
                 sorted(valid, key=lambda p: p["ts"]), 1):
+            pp, qq = p.get("pre_probe", {}), p.get("post_probe", {})
             f.write(f"| {i} | {p['order']} | {p['eff_steady']} | "
                     f"{p['eff_wall']} | {p['eff_cpu']} | "
                     f"{p['steal_frac_small']}/{p['steal_frac_big']} | "
                     f"{p.get('foreign_frac_small', '')}/"
                     f"{p.get('foreign_frac_big', '')} | "
+                    f"{pp.get('cpu_headroom', '')}/{pp.get('mem_headroom', '')};"
+                    f"{qq.get('cpu_headroom', '')}/{qq.get('mem_headroom', '')} | "
                     f"yes |\n")
         f.write(f"""
 ## Environment caveat (measured, affects wall-clock only)
