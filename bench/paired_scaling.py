@@ -97,6 +97,17 @@ def main() -> None:
                     help="min N->4N scaling of a private-array streaming "
                          "sum (socket memory bandwidth); the co-tenancy "
                          "failure mode the steal counter cannot see")
+    # absolute-rate floors at 90% of quiet-host calibration (2026-08-17:
+    # cpu 4.93-4.96 / 19.6 GB/s at 4/16 procs, mem 27.7-29.0 / 107-112).
+    # A throttled-but-proportional host passes the RATIO gates while
+    # running every leg at 70% speed with minutes-scale swings — pair 7
+    # of the first campaign was marked valid at eff 0.33 exactly this way
+    # (probe rates 3.6/19.8 vs 4.9/27.7 calibration). Floors reject any
+    # window where the host is not at full speed, in either kernel.
+    ap.add_argument("--min-cpu-rate-small", type=float, default=4.4)
+    ap.add_argument("--min-cpu-rate-big", type=float, default=17.6)
+    ap.add_argument("--min-mem-rate-small", type=float, default=24.0)
+    ap.add_argument("--min-mem-rate-big", type=float, default=95.0)
     ap.add_argument("--max-wall-s", type=float, default=10800)
     ap.add_argument("--max-attempts", type=int, default=48)
     args = ap.parse_args()
@@ -126,7 +137,11 @@ def main() -> None:
 
     def probe_ok(pr: dict) -> bool:
         return (pr["cpu_headroom"] >= args.min_cpu_headroom
-                and pr["mem_headroom"] >= args.min_mem_headroom)
+                and pr["mem_headroom"] >= args.min_mem_headroom
+                and pr["cpu_rate_small"] >= args.min_cpu_rate_small
+                and pr["cpu_rate_big"] >= args.min_cpu_rate_big
+                and pr["mem_rate_small"] >= args.min_mem_rate_small
+                and pr["mem_rate_big"] >= args.min_mem_rate_big)
 
     def leg(cpus: int) -> dict | None:
         r = run_one(cpus, args.keys, args.events, args.epochs, args.mode,
@@ -159,11 +174,17 @@ def main() -> None:
             continue
         order = ([args.n, args.n * 4] if a_first else [args.n * 4, args.n])
         legs = {}
+        mid_probe = None
         for cpus in order:
             r = leg(cpus)
             if r is None:
                 break
             legs[cpus] = r
+            if mid_probe is None and len(legs) == 1:
+                # eff is a CROSS-leg ratio: a phase flip between the legs
+                # is the dominant corruption mode, and only a probe taken
+                # between them can see it
+                mid_probe = host_probe("mid")
         if len(legs) < 2:
             print(f"# pair {attempt}: a leg died, retrying",
                   file=sys.stderr, flush=True)
@@ -175,8 +196,9 @@ def main() -> None:
         ok = (fr_small < args.max_steal_frac and fr_big < args.max_steal_frac
               and fo_small < args.max_foreign_frac
               and fo_big < args.max_foreign_frac
-              # pre+post probes bracket the window: a host phase rotating
-              # mid-pair (degrading one leg only) fails the post probe
+              # pre/mid/post probes bracket BOTH legs: a host phase
+              # rotating anywhere inside the pair fails one of them
+              and probe_ok(mid_probe)
               and probe_ok(post_probe))
         pair = {
             "ts": time.time(),
@@ -188,6 +210,9 @@ def main() -> None:
             "foreign_frac_small": round(fo_small, 4),
             "foreign_frac_big": round(fo_big, 4),
             "pre_probe": {k: pre_probe[k] for k in
+                          ("cpu_headroom", "mem_headroom",
+                           "cpu_rate_small", "mem_rate_small")},
+            "mid_probe": {k: mid_probe[k] for k in
                           ("cpu_headroom", "mem_headroom",
                            "cpu_rate_small", "mem_rate_small")},
             "post_probe": {k: post_probe[k] for k in
@@ -214,7 +239,8 @@ def main() -> None:
               f"steal {fr_small:.3f}/{fr_big:.3f} "
               f"foreign {fo_small:.3f}/{fo_big:.3f} "
               f"headroom pre {pre_probe['cpu_headroom']}/"
-              f"{pre_probe['mem_headroom']} post "
+              f"{pre_probe['mem_headroom']} mid "
+              f"{mid_probe['cpu_headroom']}/{mid_probe['mem_headroom']} post "
               f"{post_probe['cpu_headroom']}/{post_probe['mem_headroom']} "
               f"{'VALID' if ok else 'dirty'} ({len(valid)}/{args.pairs})",
               file=sys.stderr, flush=True)
@@ -254,13 +280,18 @@ co-resident burners the hypervisor-steal counter cannot see) is
 < {args.max_foreign_frac:.0%} of host capacity AND an independent
 host-capability probe (`bench/hostprobe.py`: sha256 cache-resident kernel
 + 256 MiB private streaming sum, each run at {args.n} and {args.n * 4}
-processes, zero cross-process communication) run immediately BEFORE and
-AFTER the pair shows the host itself scaling the trivial kernels at
->= {args.min_cpu_headroom}/{args.min_mem_headroom} (cpu/mem) — a window
-where a private-buffer streaming sum cannot scale 4x cannot evidence any
-engine's scaling, and every probe sample (usable or not) is ledgered in
-`BENCH/host_phase.jsonl`. **The headline is the MEDIAN valid pair — no
-post-hoc window matching, no best-of.**
+processes, zero cross-process communication) run BEFORE, BETWEEN and
+AFTER the legs shows the host itself scaling the trivial kernels at
+>= {args.min_cpu_headroom}/{args.min_mem_headroom} (cpu/mem) AND running
+them at absolute full speed (>= 90% of quiet-host calibration:
+cpu {args.min_cpu_rate_small}/{args.min_cpu_rate_big} GB/s at
+{args.n}/{args.n * 4} procs, mem {args.min_mem_rate_small}/
+{args.min_mem_rate_big} GB/s — a throttled-but-proportional host passes
+ratio gates while degrading legs asymmetrically on a minutes scale). A
+window where a private-buffer streaming sum cannot scale 4x at full
+speed cannot evidence any engine's scaling; every probe sample (usable
+or not) is ledgered in `BENCH/host_phase.jsonl`. **The headline is the
+MEDIAN valid pair — no post-hoc window matching, no best-of.**
 
 Campaign: {attempt} pairs attempted, {len(valid)} valid
 (both-legs-clean); every leg (dirty ones included) is in
