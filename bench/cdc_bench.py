@@ -218,8 +218,27 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         c = resource.getrusage(resource.RUSAGE_CHILDREN)
         return total + c.ru_utime + c.ru_stime
 
+    def _jvm_gc() -> tuple[float, int]:
+        """Cumulative JVM GC (sec, collections) via the management beans.
+        Discriminates 'leg burned 2x CPU because of a GC storm' (engine/
+        heap problem, fix the flags) from 'cycles were stall time under
+        hypervisor co-tenancy' (host problem, reject the window) — the
+        two look identical in /proc CPU accounting."""
+        try:
+            beans = (spark._jvm.java.lang.management.ManagementFactory
+                     .getGarbageCollectorMXBeans())
+            t_ms, n = 0, 0
+            for i in range(beans.size()):
+                b = beans.get(i)
+                t_ms += max(b.getCollectionTime(), 0)
+                n += max(b.getCollectionCount(), 0)
+            return t_ms / 1000.0, n
+        except Exception:
+            return 0.0, 0
+
     cpu0, steal0 = _proc_stat()
     pcpu0 = _tree_cpu()
+    gc0_sec, gc0_n = _jvm_gc()
     t0 = time.monotonic()
     per_epoch = []
     epoch_detail = []
@@ -285,6 +304,7 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
     wall = time.monotonic() - t0
     cpu1, steal1 = _proc_stat()
     pcpu1 = _tree_cpu()
+    gc1_sec, gc1_n = _jvm_gc()
     final_rows = lake.read().count()
     spark.stop()
     shutil.rmtree(scratch, ignore_errors=True)
@@ -310,6 +330,8 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         "proc_cpu_sec": round(pcpu1 - pcpu0, 1),
         "events_per_proc_cpu_sec": round(n_events / max(pcpu1 - pcpu0, 1e-9), 1),
         "steal_sec": round(steal1 - steal0, 1),
+        "gc_sec": round(gc1_sec - gc0_sec, 1),
+        "gc_collections": gc1_n - gc0_n,
         "events_per_cpu_sec": round(n_events / max(cpu1 - cpu0, 1e-9), 1),
         "final_rows": final_rows,
         **({"epoch_detail": epoch_detail} if detail else {}),

