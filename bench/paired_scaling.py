@@ -127,6 +127,9 @@ def main() -> None:
     ap.add_argument("--max-epoch-spread", type=float, default=1.6)
     ap.add_argument("--max-wall-s", type=float, default=10800)
     ap.add_argument("--max-attempts", type=int, default=48)
+    ap.add_argument("--no-baseline", action="store_true",
+                    help="collect + ledger pairs but do not (re)write "
+                         "BENCH/BASELINE.md (supplementary campaigns)")
     args = ap.parse_args()
 
     smult = os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")
@@ -275,6 +278,14 @@ def main() -> None:
 
     if not valid:
         print(json.dumps({"error": "no valid pairs", "attempts": attempt}))
+        return
+    if args.no_baseline:
+        print(json.dumps({
+            "eff_steady_median": round(statistics.median(
+                p["eff_steady"] for p in valid), 3),
+            "valid_pairs": len(valid), "attempted": attempt,
+            "baseline_md": "skipped (--no-baseline)",
+        }))
         return
 
     med = statistics.median(p["eff_steady"] for p in valid)
