@@ -37,10 +37,21 @@ _BURN_MARKER = "skipmap_steal_probe"
 
 
 def kill_stray_probes() -> int:
-    """Defensively kill leftover steal-probe burners from a crashed run."""
-    out = subprocess.run(["pkill", "-f", _BURN_MARKER],
-                         capture_output=True)
-    return out.returncode
+    """Defensively kill leftover steal-probe burners AND orphaned scaling
+    campaigns from a crashed/abandoned run. A campaign left hunting in the
+    background (paired_scaling + its cdc_bench legs at up to 16 cores)
+    would silently contend with any later bench invocation — the exact
+    failure shape of the r2 burner leak, one level up."""
+    rc = subprocess.run(["pkill", "-f", _BURN_MARKER],
+                        capture_output=True).returncode
+    me = os.getpid()
+    for pat in ("bench/paired_scaling.py", "bench/cdc_bench.py"):
+        out = subprocess.run(["pgrep", "-f", pat], capture_output=True,
+                             text=True)
+        for pid in out.stdout.split():
+            if pid.isdigit() and int(pid) != me:
+                subprocess.run(["kill", pid], capture_output=True)
+    return rc
 
 
 def _steal_fraction(window_s: float = 10.0, burn_threads: int = 16) -> float:
