@@ -43,6 +43,38 @@ def foreign_frac(leg: dict) -> float:
             / max(leg["wall_sec"] * NCPU, 1e-9))
 
 
+def pair_valid(p: dict, cfg: dict) -> bool:
+    """The r4 validity rules over a ledgered pair record; cfg keys mirror
+    the CLI thresholds (max_steal_frac, max_foreign_frac, min_cpu_headroom,
+    min_mem_headroom, min_cpu_rate_small, min_mem_rate_small,
+    min_ev_pcpu_small, min_ev_pcpu_big, max_epoch_spread)."""
+
+    def probe_ok(pr: dict | None) -> bool:
+        if pr is None:
+            return True  # probe not recorded (pre-probe-era pair)
+        return (pr["cpu_headroom"] >= cfg["min_cpu_headroom"]
+                and pr["mem_headroom"] >= cfg["min_mem_headroom"]
+                and pr.get("cpu_rate_small", 99) >= cfg["min_cpu_rate_small"]
+                and pr.get("mem_rate_small", 99) >= cfg["min_mem_rate_small"])
+
+    def leg_ok(leg: dict, floor: float) -> bool:
+        eps = leg.get("per_epoch_sec") or []
+        spread = (max(eps) / max(min(eps), 1e-9)) if eps else 1.0
+        return (leg["events_per_proc_cpu_sec"] >= floor
+                and spread <= cfg["max_epoch_spread"])
+
+    s, b = p["small"], p["big"]
+    return (steal_frac(s) < cfg["max_steal_frac"]
+            and steal_frac(b) < cfg["max_steal_frac"]
+            and foreign_frac(s) < cfg["max_foreign_frac"]
+            and foreign_frac(b) < cfg["max_foreign_frac"]
+            and probe_ok(p.get("pre_probe"))
+            and probe_ok(p.get("mid_probe"))
+            and probe_ok(p.get("post_probe"))
+            and leg_ok(s, cfg["min_ev_pcpu_small"])
+            and leg_ok(b, cfg["min_ev_pcpu_big"]))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sig", required=True,
@@ -69,33 +101,11 @@ def main() -> None:
         print(json.dumps({"error": f"no pairs for sig {args.sig}"}))
         sys.exit(1)
 
-    def probe_ok(pr: dict | None) -> bool:
-        if pr is None:
-            return True  # probe not recorded for this pair (pre-probe era)
-        return (pr["cpu_headroom"] >= args.min_cpu_headroom
-                and pr["mem_headroom"] >= args.min_mem_headroom
-                and pr.get("cpu_rate_small", 99) >= args.min_cpu_rate_small
-                and pr.get("mem_rate_small", 99) >= args.min_mem_rate_small)
-
-    def leg_ok(leg: dict, floor: float) -> bool:
-        eps = leg.get("per_epoch_sec") or []
-        spread = (max(eps) / max(min(eps), 1e-9)) if eps else 1.0
-        return (leg["events_per_proc_cpu_sec"] >= floor
-                and spread <= args.max_epoch_spread)
-
-    def valid(p: dict) -> bool:
-        s, b = p["small"], p["big"]
-        return (steal_frac(s) < args.max_steal_frac
-                and steal_frac(b) < args.max_steal_frac
-                and foreign_frac(s) < args.max_foreign_frac
-                and foreign_frac(b) < args.max_foreign_frac
-                and probe_ok(p.get("pre_probe"))
-                and probe_ok(p.get("mid_probe"))
-                and probe_ok(p.get("post_probe"))
-                and leg_ok(s, args.min_ev_pcpu_small)
-                and leg_ok(b, args.min_ev_pcpu_big))
-
-    vp = [p for p in pairs if valid(p)]
+    cfg = {k: getattr(args, k) for k in (
+        "max_steal_frac", "max_foreign_frac", "min_cpu_headroom",
+        "min_mem_headroom", "min_cpu_rate_small", "min_mem_rate_small",
+        "min_ev_pcpu_small", "min_ev_pcpu_big", "max_epoch_spread")}
+    vp = [p for p in pairs if pair_valid(p, cfg)]
     if not vp:
         print(json.dumps({"error": "no valid pairs", "sig": args.sig,
                           "attempted": len(pairs)}))
