@@ -290,6 +290,7 @@ def main() -> None:
             "lsh_recall": ann["lsh_recall_at_k"],
             "margin_recall": ann["margin_recall_at_k"],
             "margin_cost_vs_brute": ann["margin_cost_vs_brute"],
+            "margin_bucket_fraction": ann.get("margin_bucket_fraction"),
         },
         "ivm_speedup_vs_rescan": ivm and ivm["speedup_vs_rescan"],
         "sf": sf,

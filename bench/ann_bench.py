@@ -150,7 +150,14 @@ def main() -> None:
             len(set(brute_ids) & {r["vec_id"] for r in r_lsh}) / args.k, 3),
         "margin_budget": budget,
         "margin_query_sec": round(t_margin, 3),
+        # wall ratio at this row count is fixed-job-overhead-dominated;
+        # the scale-relevant cost is the fraction of the table's buckets
+        # the partition-pruned scan touches (brute touches all of them)
         "margin_cost_vs_brute": round(t_margin / max(t_brute, 1e-9), 3),
+        "margin_bucket_fraction": round(budget / (1 << args.planes), 4),
+        "lsh_bucket_fraction": round(
+            len(similarity.probe_masks(args.planes, 2)) / (1 << args.planes),
+            4),
         "margin_recall_at_k": round(
             len(set(brute_ids) & {r["vec_id"] for r in r_margin}) / args.k,
             3),
