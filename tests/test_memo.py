@@ -55,9 +55,42 @@ def test_second_run_serves_from_cache(spark, warehouse):
     assert got2 == got1
     assert seen == [], "all keys cached - no rows recomputed"
     # the cache write path is distributed: Spark part files, no pandas blob
-    files = os.listdir(cache.path)
+    files = [f for _, _, fs in os.walk(cache.path) for f in fs]
     assert any(f.startswith("part-") and f.endswith(".parquet")
                for f in files), files
+
+
+def test_append_never_lists_cache_dir(spark, warehouse, monkeypatch):
+    """Object-store safety (VERDICT r4 item 6): enrich() performs ZERO
+    directory listings of the cache path — in particular none between
+    writing the fresh part and reading it back (each append is read back
+    by its own exact uuid-subdirectory path)."""
+    from skipmap_processor_spark.operators import memo as memo_mod
+
+    cache = EnrichmentCache(spark, os.path.join(warehouse, "memo6"),
+                            ["repo", "path"], ["derived_len", "derived_sha"])
+    real_listdir, real_scandir = os.listdir, os.scandir
+    listed = []
+
+    def spy_listdir(path="."):
+        if str(path).startswith(cache.path):
+            listed.append(("listdir", str(path)))
+        return real_listdir(path)
+
+    def spy_scandir(path="."):
+        if str(path).startswith(cache.path):
+            listed.append(("scandir", str(path)))
+        return real_scandir(path)
+
+    monkeypatch.setattr(memo_mod.os, "listdir", spy_listdir)
+    monkeypatch.setattr(memo_mod.os, "scandir", spy_scandir)
+    rows = [("r1", f"p{i}.py", f"c{i}") for i in range(6)]
+    out = cache.enrich(_docs(spark, rows), _expensive)
+    assert out.count() == 6
+    seen = []
+    out2 = cache.enrich(_docs(spark, rows), _probe(seen))
+    assert out2.count() == 6 and seen == []
+    assert listed == [], listed
 
 
 def test_partial_miss_computes_only_new_keys(spark, warehouse):
