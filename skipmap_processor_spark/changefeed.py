@@ -76,43 +76,73 @@ def _added_entries(lake: LakeTable, from_version: int,
                    to_version: int) -> list[dict]:
     """File entries added by logical (merge) commits in (from, to].
 
-    Shard-descriptor diff first (descriptors carried by reference are
-    skipped by path), then an entry-path filter against the previous
-    version's full set so CoW *replacement* shards (filtered copies of old
-    shards that lost entries) don't smuggle carried rows back in as
-    candidates."""
+    O(changes) over the whole range, not O(versions × table files)
+    (VERDICT r4 item 5): shard descriptors carry an ``origin`` tag —
+    ``append`` shards (merge deltas, CoW bucket outputs) contain only
+    brand-new data-file paths and are taken whole; ``rewrite`` shards
+    (filtered replacements from CoW/compaction) contain only carried paths
+    and are skipped without loading. Per version the work is the
+    descriptor-set diff (O(descriptors in the manifest JSON, which the walk
+    reads anyway)) plus loads of only the shards that are genuinely new.
+
+    Legacy manifests (pre-tag) fall back to an entry-path filter against a
+    snapshot path set, built ONCE lazily at first need and maintained
+    cumulatively — valid because data files are immutable uuid-named paths
+    that never reappear after removal, so the cumulative set makes exactly
+    the same membership decisions as the per-version previous-snapshot set
+    did, at O(one snapshot + changes) instead of O(versions × snapshots)."""
     out: list[dict] = []
     prev = _manifest_or_expired(lake, from_version)
-    prev_paths: set[str] | None = None  # lazy: only needed on a diff hit
+    seen: set[str] | None = None  # lazy: only untagged (legacy) shards need it
+
+    def _note(entries: list[dict]) -> None:
+        if seen is not None:
+            seen.update(fe["path"] for fe in entries)
+
     for v in range(from_version + 1, to_version + 1):
         mani = _manifest_or_expired(lake, v)
-        if mani.get("commit_kind", None) not in _LOGICAL_KINDS:
-            prev = mani
-            prev_paths = None
-            continue
+        logical = mani.get("commit_kind", None) in _LOGICAL_KINDS
         prev_shards = {sd["path"] for sd in prev.get("shards", [])}
-        new_descs = [sd for sd in mani.get("shards", [])
-                     if sd["path"] not in prev_shards]
         prev_inline = {fe["path"] for fe in prev.get("files", [])}
         new_inline = [fe for fe in mani.get("files", [])
                       if fe["path"] not in prev_inline]
-        if new_descs or new_inline:
-            if prev_paths is None:
-                prev_paths = {fe["path"] for fe in lake.file_entries(prev)}
-            for sd in new_descs:
-                out.extend(fe for fe in lake._load_shard(sd["path"])
-                           if fe["path"] not in prev_paths)
-            out.extend(fe for fe in new_inline
-                       if fe["path"] not in prev_paths)
+        for sd in mani.get("shards", []):
+            if sd["path"] in prev_shards:
+                continue
+            origin = sd.get("origin")
+            if origin == "rewrite":
+                continue  # replacement: carried paths only, never candidates
+            if origin == "append":
+                if not logical and seen is None:
+                    continue  # e.g. compact output with no legacy set live
+                entries = lake._load_shard(sd["path"])
+                if logical:
+                    out.extend(entries)
+                _note(entries)  # keep the legacy set complete if it exists
+                continue
+            entries = lake._load_shard(sd["path"])
+            # untagged legacy shard: filter against the snapshot path set
+            if seen is None:
+                seen = {fe["path"] for fe in lake.file_entries(prev)}
+            if logical:
+                out.extend(fe for fe in entries
+                           if fe["path"] not in seen)
+            _note(entries)
+        if new_inline:
+            if seen is None:
+                seen = {fe["path"] for fe in lake.file_entries(prev)}
+            if logical:
+                out.extend(fe for fe in new_inline
+                           if fe["path"] not in seen)
+            _note(new_inline)
         prev = mani
-        prev_paths = None
     # the same physical file can be added in one version and carried through
     # later ones — dedup by path
-    seen: set[str] = set()
+    emitted: set[str] = set()
     uniq = []
     for fe in out:
-        if fe["path"] not in seen:
-            seen.add(fe["path"])
+        if fe["path"] not in emitted:
+            emitted.add(fe["path"])
             uniq.append(fe)
     return uniq
 

@@ -272,7 +272,14 @@ class LakeTable:
                 cache[rel] = json.load(f)
         return cache[rel]
 
-    def _write_shard(self, entries: list[dict]) -> dict:
+    def _write_shard(self, entries: list[dict],
+                     origin: str = "append") -> dict:
+        """``origin`` rides in the descriptor so the change feed's candidate
+        discovery is O(changes) without loading snapshots: ``append`` shards
+        (merge deltas, CoW bucket outputs, compact folds) contain ONLY
+        brand-new data-file paths; ``rewrite`` shards (filtered replacements
+        from _rewrite_shards) contain ONLY carried paths. Data files are
+        immutable uuid-named, so a path never moves between the classes."""
         rel = os.path.join("manifests", f"s-{uuid.uuid4().hex}.json")
         with open(os.path.join(self.path, rel), "w") as f:
             json.dump(entries, f)
@@ -283,7 +290,8 @@ class LakeTable:
             b = str(int(fe["bucket"]))
             bc[b] = bc.get(b, 0) + 1
         self.__dict__.setdefault("_shard_cache", {})[rel] = entries
-        return {"path": rel, "n": len(entries), "bucket_counts": bc}
+        return {"path": rel, "n": len(entries), "bucket_counts": bc,
+                "origin": origin}
 
     def file_entries(self, mani: dict | None = None,
                      buckets: list[int] | None = None) -> list[dict]:
@@ -316,7 +324,7 @@ class LakeTable:
             if len(kept) == len(entries):
                 out.append(sd)
             elif kept:
-                out.append(self._write_shard(kept))
+                out.append(self._write_shard(kept, origin="rewrite"))
         mani["shards"] = out
 
     @staticmethod

@@ -418,3 +418,153 @@ def test_follower_stale_downstream_raises(spark, warehouse):
     up.vacuum(keep_versions=1, grace_sec=0.0)
     with pytest.raises(StaleDownstream):
         f.sync()
+
+
+# ------------------------------------------- catch-up across wide ranges
+
+def _fabric_commit(t: LakeTable, kind="merge", add=None, origin="append",
+                   drop_paths=None) -> int:
+    """Commit a manifest through the real CAS machinery without running a
+    Spark job — metadata-fabric for walk-cost tests. Entries reference
+    synthetic data paths; only discovery (never the data path) runs."""
+    mani = t.manifest(t._latest_version())
+    if drop_paths:
+        t._rewrite_shards(mani, lambda fe: fe["path"] in drop_paths)
+    if add:
+        mani["shards"] = mani.get("shards", []) + [
+            t._write_shard(add, origin=origin)]
+    mani["commit_kind"] = kind
+    mani["version"] = t._latest_version() + 1
+    t._commit_manifest(mani)
+    return mani["version"]
+
+
+def test_catchup_discovery_o_changes_over_520_versions(spark, warehouse):
+    """VERDICT r4 item 5: a consumer resuming across hundreds of commits
+    pays O(changes) driver work, not O(versions × table files). With
+    origin-tagged shards, discovery (a) NEVER rebuilds a snapshot path set
+    (file_entries is never called), (b) loads each appended shard exactly
+    once, and (c) skips rewrite-replacement and compact-output shards
+    without loading them."""
+    from skipmap_processor_spark.changefeed import _added_entries
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "fab"),
+                         num_buckets=4, merge_mode="mor")
+    v0 = t._latest_version()
+    expected, live_paths = [], []
+    for i in range(520):
+        if i % 50 == 17 and len(live_paths) >= 4:
+            folded = set(live_paths[:4])
+            newp = f"data/fold-{i}.parquet"
+            _fabric_commit(t, kind="compact",
+                           add=[{"path": newp, "bucket": 0, "rows": 8}],
+                           drop_paths=folded)
+            live_paths = [p for p in live_paths if p not in folded] + [newp]
+        elif i % 50 == 33:
+            _fabric_commit(t, kind="metadata")
+        else:
+            p = f"data/trickle-{i}.parquet"
+            _fabric_commit(t, add=[{"path": p, "bucket": i % 4, "rows": 1}])
+            live_paths.append(p)
+            expected.append(p)
+    latest = t._latest_version()
+    assert latest - v0 >= 520
+
+    loads: list[str] = []
+    orig_load = t._load_shard
+
+    def spy_load(rel):
+        loads.append(rel)
+        return orig_load(rel)
+
+    def no_snapshot(*a, **k):
+        raise AssertionError(
+            "file_entries called during discovery — the "
+            "O(versions × files) walk resurfaced")
+
+    t._load_shard = spy_load
+    t.file_entries = no_snapshot
+    try:
+        ents = _added_entries(t, v0, latest)
+    finally:
+        del t.file_entries
+        del t._load_shard
+    assert {fe["path"] for fe in ents} == set(expected)
+    # one load per appended trickle shard, nothing else, no repeats
+    assert len(loads) == len(expected) and len(set(loads)) == len(loads)
+
+
+def test_catchup_legacy_untagged_manifests(spark, warehouse):
+    """Pre-tag manifests (no `origin` on shard descriptors) still produce a
+    correct feed via the cumulative snapshot-set fallback."""
+    import json as _json
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "leg"),
+                         num_buckets=4, merge_mode="cow")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "go", "v1", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "go", "w1", "s2"),
+    ]), epoch=0)
+    v_boot = t._latest_version()
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "upsert", "go", "v2", "s3"),
+        ("r2", "c.py", c(2), 1, "upsert", "py", "x1", "s4"),
+    ]), epoch=1)
+    t.compact()
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "b.py", c(3), 0, "delete", None, None, None),
+    ]), epoch=2)
+    latest = t._latest_version()
+    # strip every origin tag on disk (simulate a pre-tag table), clear caches
+    mdir = os.path.join(t.path, "manifests")
+    for fn in os.listdir(mdir):
+        fp = os.path.join(mdir, fn)
+        with open(fp) as f:
+            doc = _json.load(f)
+        if fn.startswith("v"):
+            for sd in doc.get("shards", []):
+                sd.pop("origin", None)
+            with open(fp, "w") as f:
+                _json.dump(doc, f)
+    t.__dict__.pop("_shard_cache", None)
+    _assert_feed_matches_oracle(t, v_boot, latest)
+    _assert_feed_matches_oracle(t, 0, latest)
+
+
+def test_follower_catchup_across_120_version_trickle(spark, warehouse):
+    """End-to-end wide-range catch-up: 120 one-row trickle merges (with a
+    compact mid-range), one table_changes over the whole range matches the
+    snapshot-diff oracle, and a FeedFollower syncs the range in ONE
+    incremental merge that leaves the downstream row-equal with upstream."""
+    from skipmap_processor_spark.changefeed import FeedFollower
+
+    up = LakeTable.create(spark, os.path.join(warehouse, "wup"),
+                          num_buckets=4, merge_mode="mor")
+    down = LakeTable.create(spark, os.path.join(warehouse, "wdn"),
+                            num_buckets=4, merge_mode="mor")
+    up.merge_batch(_mk_actions(spark, [
+        ("r0", "seed.py", c(0), 0, "upsert", "py", "seed", "s0"),
+    ]), epoch=0)
+    f = FeedFollower(up, down)
+    f.sync()
+    v_cursor = f.cursor()
+    for i in range(1, 121):
+        if i % 7 == 3:
+            rows = [("r1", f"f{i % 11}.py", c(i), 0, "delete",
+                     None, None, None)]
+        else:
+            rows = [("r1", f"f{i % 11}.py", c(i), 0, "upsert",
+                     "py", f"v{i}", f"s{i}")]
+        up.merge_batch(_mk_actions(spark, rows), epoch=i)
+        if i == 60:
+            up.compact()
+    latest = up._latest_version()
+    assert latest - v_cursor >= 120
+    _assert_feed_matches_oracle(up, v_cursor, latest)
+    r = f.sync()
+    assert r["mode"] == "incremental" and r["from_cursor"] == v_cursor
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content",
+            "content_sha"]
+    up_rows = sorted(tuple(x) for x in up.read().select(*cols).collect())
+    dn_rows = sorted(tuple(x) for x in down.read().select(*cols).collect())
+    assert up_rows == dn_rows
