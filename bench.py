@@ -86,15 +86,21 @@ def main() -> None:
                  "w1_lww_dedup", "sim_lsh_multiprobe_topk"):
         QUERIES[name](spark, sf_dir).count()
 
+    STEAL_BAR = 0.02  # a phase's published number must come from a window
+    #                   quieter than this (VERDICT r4 finding 1)
     phase_ledger: dict[str, dict] = {}
     pre_steal = wait_quiet() if wait_quiet else None
     q_t0 = time.time()
-    s0_tot, s0_st = _steal_snap()
     qsecs: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # two timed passes, keep the min: a single pass is hostage to one steal
-    # burst landing on one query (exactly the r3 failure shape)
-    for _pass in range(2):
+    # timed passes, keep the per-query min: a single pass is hostage to one
+    # steal burst landing on one query (exactly the r3 failure shape). At
+    # least 2 passes always run; if NO pass was sub-bar quiet, keep adding
+    # passes (to 4) until one is — every kept min is then bounded by a
+    # number achieved inside a verified-quiet pass.
+    pass_steals: list[float] = []
+    while True:
+        s0_tot, s0_st = _steal_snap()
         for name, fn in QUERIES.items():
             t0 = time.monotonic()
             try:
@@ -104,14 +110,21 @@ def main() -> None:
                 qsecs[name] = min(qsecs.get(name, dt), dt)
             except Exception as e:  # a failed query must be visible, not a
                 errors[name] = f"{type(e).__name__}: {e}"[:300]  # silent gap
-    s1_tot, s1_st = _steal_snap()
+        s1_tot, s1_st = _steal_snap()
+        pass_steals.append(
+            round((s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4))
+        if len(pass_steals) >= 2 and (min(pass_steals) < STEAL_BAR
+                                      or len(pass_steals) >= 4):
+            break
+        if pass_steals[-1] >= STEAL_BAR and wait_quiet:
+            wait_quiet()
     phase_ledger["queries"] = {
         "t_start_unix": round(q_t0, 1),
         "wall_sec": round(time.time() - q_t0, 1),
         "pre_steal_frac": None if pre_steal is None else round(pre_steal, 4),
-        "in_run_steal_frac": round((s1_st - s0_st) / max(s1_tot - s0_tot, 1),
-                                   4),
-        "timing": "min of 2 passes per query",
+        "in_run_steal_frac": min(pass_steals),
+        "pass_steal_fracs": pass_steals,
+        "timing": f"min of {len(pass_steals)} passes per query",
     }
 
     # ANN quality evidence: recall@10 of the IVF-pruned search against the
@@ -124,6 +137,14 @@ def main() -> None:
     except Exception as e:
         errors["ivf_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
         ivf_recall_at_10 = None
+    try:
+        ivf_mp = {r["vec_id"] for r in
+                  QUERIES["sim_ivf_multiprobe"](spark, sf_dir).collect()}
+        ivf_multiprobe_recall_at_10 = round(
+            len(brute & ivf_mp) / max(len(brute), 1), 3)
+    except Exception as e:
+        errors["ivf_multiprobe_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
+        ivf_multiprobe_recall_at_10 = None
     try:
         mp = {r["vec_id"] for r in
               QUERIES["sim_lsh_multiprobe_topk"](spark, sf_dir).collect()}
@@ -149,42 +170,75 @@ def main() -> None:
     # epoch replaces the warmth the replay previously inherited in-process.
     spark.stop()
 
-    def cdc_sub(mode: str) -> dict:
-        pre = wait_quiet() if wait_quiet else None
-        t0 = time.time()
-        s0_tot, s0_st = _steal_snap()
-        cmd = [
-            sys.executable,
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench", "cdc_bench.py"),
-            "--cpus", str(cpus), "--keys", "300000",
-            "--events", "1000000", "--epochs", "4", "--mode", mode,
-            "--sha", "arrow", "--warmup-epochs", "1",
-        ]
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    # Every subprocess phase is RETRIED until its own in-run steal clears
+    # the validity bar (VERDICT r4 finding 1: the r4 artifact published a
+    # CDC number taken in a 5%-steal window — a phantom 1.85x regression
+    # its same-code clean run contradicted). The official artifact must be
+    # clean on its face: keep the lowest-steal attempt, ledger the rejects.
+    MAX_ATTEMPTS = 3
+
+    def gated_phase(name: str, fn):
+        """Run ``fn`` (returns a parsed result dict) up to MAX_ATTEMPTS
+        times; stop at the first attempt whose in-run steal < STEAL_BAR,
+        else keep the quietest. All attempts are ledgered."""
+        attempts: list[dict] = []
+        best: tuple[dict, dict] | None = None
+        for _ in range(MAX_ATTEMPTS):
+            pre = wait_quiet() if wait_quiet else None
+            t0 = time.time()
+            s0_tot, s0_st = _steal_snap()
+            result = fn()
+            s1_tot, s1_st = _steal_snap()
+            rec = {
+                "t_start_unix": round(t0, 1),
+                "wall_sec": round(time.time() - t0, 1),
+                "pre_steal_frac": None if pre is None else round(pre, 4),
+                "in_run_steal_frac": round(
+                    (s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4),
+            }
+            attempts.append(rec)
+            if best is None or (rec["in_run_steal_frac"]
+                                < best[1]["in_run_steal_frac"]):
+                best = (result, rec)
+            if rec["in_run_steal_frac"] < STEAL_BAR:
+                break
+        led = dict(best[1])
+        led["attempts"] = len(attempts)
+        rejected = [a for a in attempts if a is not best[1]]
+        if rejected:
+            led["rejected_attempts"] = rejected
+        phase_ledger[name] = led
+        return best[0]
+
+    def _run_json(cmd: list[str], timeout: int) -> dict:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
         lines = [ln for ln in out.stdout.strip().splitlines()
                  if ln.startswith("{")]
         if out.returncode != 0 or not lines:
             raise RuntimeError(
-                f"cdc_bench rc={out.returncode}: {out.stderr[-300:]}")
-        s1_tot, s1_st = _steal_snap()
-        phase_ledger[f"cdc_{mode}"] = {
-            "t_start_unix": round(t0, 1),
-            "wall_sec": round(time.time() - t0, 1),
-            "pre_steal_frac": None if pre is None else round(pre, 4),
-            "in_run_steal_frac": round(
-                (s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4),
-        }
+                f"{os.path.basename(cmd[1])} rc={out.returncode}: "
+                f"{out.stderr[-300:]}")
         return json.loads(lines[-1])
 
+    _here = os.path.dirname(os.path.abspath(__file__))
+
+    def cdc_sub(mode: str) -> dict:
+        return _run_json([
+            sys.executable, os.path.join(_here, "bench", "cdc_bench.py"),
+            "--cpus", str(cpus), "--keys", "300000",
+            "--events", "1000000", "--epochs", "4", "--mode", mode,
+            "--sha", "arrow", "--warmup-epochs", "1",
+        ], timeout=1800)
+
     try:
-        cdc = cdc_sub("mor")
+        cdc = gated_phase("cdc_mor", lambda: cdc_sub("mor"))
         qsecs["cdc_replay_1m_events_mor"] = cdc["wall_sec"]
     except Exception as e:
         errors["cdc_replay_1m_events_mor"] = f"{type(e).__name__}: {e}"[:300]
         cdc = None
     try:
-        cdc_cow = cdc_sub("cow")
+        cdc_cow = gated_phase("cdc_cow", lambda: cdc_sub("cow"))
         qsecs["cdc_replay_1m_events_cow"] = cdc_cow["wall_sec"]
     except Exception as e:
         errors["cdc_replay_1m_events_cow"] = f"{type(e).__name__}: {e}"[:300]
@@ -196,17 +250,10 @@ def main() -> None:
     # for — both numbers in one line, neither standing in for the other.
     ann = None
     try:
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench", "ann_bench.py"),
-             "--rows", "40000", "--dim", "128", "--planes", "10",
-             "--cpus", "8"],
-            capture_output=True, text=True, timeout=900)
-        lines = [ln for ln in out.stdout.strip().splitlines()
-                 if ln.startswith("{")]
-        if lines:
-            ann = json.loads(lines[-1])
+        ann = gated_phase("ann_neardup", lambda: _run_json(
+            [sys.executable, os.path.join(_here, "bench", "ann_bench.py"),
+             "--rows", "400000", "--dim", "128", "--planes", "10",
+             "--cpus", str(cpus)], timeout=1800))
     except Exception as e:
         errors["ann_neardup"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -219,34 +266,29 @@ def main() -> None:
     # the rescan grows linearly — 1.25x at 2M rows, 4.1x at 8M.
     ivm = None
     try:
-        pre = wait_quiet() if wait_quiet else None
-        t0 = time.time()
-        s0_tot, s0_st = _steal_snap()
-        out = subprocess.run(
+        ivm = gated_phase("ivm", lambda: _run_json(
             [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench", "changefeed_bench.py"),
+             os.path.join(_here, "bench", "changefeed_bench.py"),
              "--rows", "4000000", "--changes", "200", "--buckets", "1024",
-             "--cpus", "8"],
-            capture_output=True, text=True, timeout=900)
-        lines = [ln for ln in out.stdout.strip().splitlines()
-                 if ln.startswith("{")]
-        if out.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"changefeed_bench rc={out.returncode}: {out.stderr[-300:]}")
-        ivm = json.loads(lines[-1])
-        s1_tot, s1_st = _steal_snap()
-        phase_ledger["ivm"] = {
-            "t_start_unix": round(t0, 1),
-            "wall_sec": round(time.time() - t0, 1),
-            "pre_steal_frac": None if pre is None else round(pre, 4),
-            "in_run_steal_frac": round(
-                (s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4),
-        }
+             "--cpus", "8"], timeout=900))
         qsecs["ivm_incremental_refresh_4m"] = ivm["incremental_refresh_sec"]
         qsecs["ivm_full_rebuild_4m"] = ivm["full_rebuild_sec"]
     except Exception as e:
         errors["ivm"] = f"{type(e).__name__}: {e}"[:300]
+
+    # Wide-range changefeed catch-up (VERDICT r4 item 5): a consumer
+    # resuming across 1000 trickle commits. The 1000-merge fixture is built
+    # once under .data/ and reused; only the catch-up reads are measured.
+    cf_catchup = None
+    try:
+        cf_catchup = gated_phase("cf_catchup", lambda: _run_json(
+            [sys.executable,
+             os.path.join(_here, "bench", "changefeed_bench.py"),
+             "--catchup-versions", "1000", "--buckets", "32",
+             "--cpus", "8"], timeout=1800))
+        qsecs["cf_catchup_1000_versions"] = cf_catchup["catchup_feed_sec"]
+    except Exception as e:
+        errors["cf_catchup"] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(qsecs.values()), 3)
     full = {
@@ -256,10 +298,12 @@ def main() -> None:
         "queries": qsecs,
         "errors": errors,
         "ivf_recall_at_10": ivf_recall_at_10,
+        "ivf_multiprobe_recall_at_10": ivf_multiprobe_recall_at_10,
         "lsh_recall_at_10": lsh_recall_at_10,
         "margin_recall_at_10": margin_recall_at_10,
         "ann_neardup": ann,
         "ivm": ivm,
+        "cf_catchup": cf_catchup,
         "sf": sf,
         "cdc": cdc,
         "cdc_cow": cdc_cow,
@@ -284,6 +328,7 @@ def main() -> None:
         "n_errors": len(errors),
         "steal": {p: v["in_run_steal_frac"] for p, v in phase_ledger.items()},
         "ivf_recall_at_10": ivf_recall_at_10,
+        "ivf_multiprobe_recall_at_10": ivf_multiprobe_recall_at_10,
         "lsh_recall_at_10": lsh_recall_at_10,
         "margin_recall_at_10": margin_recall_at_10,
         "neardup": ann and {
@@ -291,8 +336,15 @@ def main() -> None:
             "margin_recall": ann["margin_recall_at_k"],
             "margin_cost_vs_brute": ann["margin_cost_vs_brute"],
             "margin_bucket_fraction": ann.get("margin_bucket_fraction"),
+            "ivf_mp_recall": ann.get("ivf_multiprobe_recall_at_k"),
+            "rows": ann.get("rows"),
         },
         "ivm_speedup_vs_rescan": ivm and ivm["speedup_vs_rescan"],
+        "cf_catchup_1000v": cf_catchup and {
+            "discovery_ms_per_version": cf_catchup["discovery_ms_per_version"],
+            "feed_sec": cf_catchup["catchup_feed_sec"],
+            "vs_last10_ratio": cf_catchup["catchup_vs_last10_ratio"],
+        },
         "sf": sf,
         "cdc": {
             "mor_events_per_sec": cdc and cdc["events_per_sec"],

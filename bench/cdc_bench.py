@@ -156,7 +156,11 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
             # repeatedly at local[32] — measured 4-13x CPU burn with
             # escalating per-epoch times; G1 (JVM default) with bounded
             # thread counts keeps fairness without the full-GC bomb.
-            "spark.driver.extraJavaOptions": _gc_flags(cpus),
+            # the trailing -D marker makes an ORPHANED leg JVM (parent
+            # driver killed, java reparented to init) findable by argv —
+            # bench/scaling.py's reaper kills it by this marker (ADVICE r4)
+            "spark.driver.extraJavaOptions": (
+                _gc_flags(cpus) + " -Dskipmap.bench.leg=1"),
         },
     )
     lake_dir = os.path.join(scratch, f"bench_lake_{cpus}")

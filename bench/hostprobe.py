@@ -36,12 +36,15 @@ worker has a bounded loop, so a killed parent cannot leak spinners.
 from __future__ import annotations
 
 import multiprocessing as mp
+import queue as queue_mod
 import time
 
 
-def _cpu_worker(dur: float, q) -> None:
+def _cpu_worker(dur: float, q, ready, go) -> None:
     import hashlib
     buf = b"\xab" * 65536
+    ready.put(1)
+    go.wait(timeout=120)  # start barrier: all windows overlap fully
     end = time.monotonic() + dur
     n = 0
     while time.monotonic() < end:
@@ -51,9 +54,11 @@ def _cpu_worker(dur: float, q) -> None:
     q.put(n * len(buf))
 
 
-def _mem_worker(dur: float, q) -> None:
+def _mem_worker(dur: float, q, ready, go) -> None:
     import numpy as np
     a = np.ones(32_000_000, dtype=np.float64)  # 256 MiB private stream
+    ready.put(1)
+    go.wait(timeout=120)  # start barrier: all windows overlap fully
     end = time.monotonic() + dur
     n = 0
     s = 0.0
@@ -64,19 +69,42 @@ def _mem_worker(dur: float, q) -> None:
 
 
 def _aggregate_rate(worker, nproc: int, dur: float) -> float:
-    """Aggregate bytes/s processed by ``nproc`` self-timed workers."""
+    """Aggregate bytes/s processed by ``nproc`` self-timed workers.
+
+    ADVICE r4 hardening: spawn-context startup skews ~0.5-1 s per worker
+    (numpy import, 256 MiB allocation), so without a start barrier parts
+    of each self-timed window ran under PARTIAL concurrency, inflating the
+    big-N aggregate and making the gate permissive. Workers now signal
+    ready after allocation and block on a shared event; timing starts only
+    once every worker is released, so the measured windows fully overlap.
+    A crashed worker returns a FAILING sample (0.0 — under every floor)
+    instead of raising queue.Empty and aborting the whole campaign."""
     ctx = mp.get_context("spawn")  # fresh interpreters: no COW page sharing
     q = ctx.Queue()
-    ps = [ctx.Process(target=worker, args=(dur, q), daemon=True)
+    ready = ctx.Queue()
+    go = ctx.Event()
+    ps = [ctx.Process(target=worker, args=(dur, q, ready, go), daemon=True)
           for _ in range(nproc)]
     for p in ps:
         p.start()
+    ok = True
+    try:
+        for _ in ps:
+            ready.get(timeout=120)
+    except queue_mod.Empty:
+        ok = False  # a worker died before the barrier (e.g. OOM on alloc)
+    go.set()  # release everyone that made it
     total = 0
     for _ in ps:
-        total += q.get(timeout=dur + 60)
+        try:
+            total += q.get(timeout=dur + 60)
+        except queue_mod.Empty:
+            ok = False
     for p in ps:
         p.join(timeout=30)
-    return total / dur
+        if p.is_alive():
+            p.kill()
+    return (total / dur) if ok else 0.0
 
 
 def probe(n_small: int, n_big: int, dur: float = 1.2) -> dict:

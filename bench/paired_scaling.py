@@ -132,6 +132,28 @@ def main() -> None:
                          "BENCH/BASELINE.md (supplementary campaigns)")
     args = ap.parse_args()
 
+    # ADVICE r4: the rate floors above are the --n 4 calibration (4/16
+    # procs); with --n 2 a 2-proc cpu rate (~2.5 GB/s) can never clear the
+    # 4-proc 4.4 floor, silently rejecting every window. Probe kernel rates
+    # are near-linear in proc count, so unoverridden rate floors scale by
+    # n/4. The per-leg ev/proc-cpu floors are NOT proc-linear (they are
+    # clean-history medians of the engine at those cpu counts) — refuse to
+    # run with the 4/16 defaults at a different n.
+    if args.n != 4:
+        scale = args.n / 4.0
+        for name in ("min_cpu_rate_small", "min_cpu_rate_big",
+                     "min_mem_rate_small", "min_mem_rate_big"):
+            if getattr(args, name) == ap.get_default(name):
+                setattr(args, name,
+                        round(ap.get_default(name) * scale, 2))
+        for name in ("min_ev_pcpu_small", "min_ev_pcpu_big"):
+            if getattr(args, name) == ap.get_default(name):
+                ap.error(
+                    f"--{name.replace('_', '-')} must be set explicitly "
+                    f"for --n {args.n}: the defaults are clean-history "
+                    "medians of the 4/16-cpu legs and do not scale "
+                    "linearly in proc count")
+
     smult = os.environ.get("SKIPMAP_BENCH_SHUFFLE_MULT", "4")
     fmult = os.environ.get("SKIPMAP_FPB_MULT", "2")
     layout = (f"sp{args.fixed_shuffle}" if args.fixed_shuffle
@@ -177,6 +199,10 @@ def main() -> None:
             return None
         r["sig"] = sig
         r["protocol"] = "paired"
+        # the host's CPU count at bench time: steal/foreign fractions are
+        # per-host-capacity, and a ledger replayed on a resized host would
+        # otherwise silently misclassify pairs (ADVICE r4)
+        r["host_ncpu"] = NCPU
         with open(hist_path, "a") as f:
             f.write(json.dumps(r) + "\n")
         return r
@@ -240,15 +266,23 @@ def main() -> None:
             "steal_frac_big": round(fr_big, 4),
             "foreign_frac_small": round(fo_small, 4),
             "foreign_frac_big": round(fo_big, 4),
+            # ALL probe fields the validity predicate reads persist with
+            # the pair, so tools/finalize_pairs.py can replay the verdict
+            # exactly — the big-proc rate floors are the gate most
+            # sensitive to the documented bandwidth bursts (ADVICE r4)
             "pre_probe": {k: pre_probe[k] for k in
                           ("cpu_headroom", "mem_headroom",
-                           "cpu_rate_small", "mem_rate_small")},
+                           "cpu_rate_small", "mem_rate_small",
+                           "cpu_rate_big", "mem_rate_big")},
             "mid_probe": {k: mid_probe[k] for k in
                           ("cpu_headroom", "mem_headroom",
-                           "cpu_rate_small", "mem_rate_small")},
+                           "cpu_rate_small", "mem_rate_small",
+                           "cpu_rate_big", "mem_rate_big")},
             "post_probe": {k: post_probe[k] for k in
                            ("cpu_headroom", "mem_headroom",
-                            "cpu_rate_small", "mem_rate_small")},
+                            "cpu_rate_small", "mem_rate_small",
+                            "cpu_rate_big", "mem_rate_big")},
+            "host_ncpu": NCPU,
             "valid": ok,
             "eff_wall": round(
                 (big["events_per_sec"] / small["events_per_sec"]) / 4, 4),

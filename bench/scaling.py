@@ -41,16 +41,50 @@ def kill_stray_probes() -> int:
     campaigns from a crashed/abandoned run. A campaign left hunting in the
     background (paired_scaling + its cdc_bench legs at up to 16 cores)
     would silently contend with any later bench invocation — the exact
-    failure shape of the r2 burner leak, one level up."""
+    failure shape of the r2 burner leak, one level up.
+
+    ADVICE r4 hardening: (a) python-driver patterns are ANCHORED to an
+    interpreter argv (an editor or wrapping shell whose argv merely
+    contains the path no longer matches); (b) the whole process GROUP dies
+    (run_one starts legs with start_new_session=True, so a leg's pyspark
+    JVM shares its group); (c) an ORPHANED leg JVM — parent driver gone,
+    java reparented to init — is reaped directly by the
+    -Dskipmap.bench.leg argv marker cdc_bench plants in extraJavaOptions."""
+    import signal
+
     rc = subprocess.run(["pkill", "-f", _BURN_MARKER],
                         capture_output=True).returncode
     me = os.getpid()
-    for pat in ("bench/paired_scaling.py", "bench/cdc_bench.py"):
+    try:
+        my_pg = os.getpgid(me)
+    except OSError:
+        my_pg = -1
+    pats = (
+        r"^[^ ]*python[0-9.]* [^ ]*bench/paired_scaling\.py",
+        r"^[^ ]*python[0-9.]* [^ ]*bench/scaling_sharded\.py",
+        r"^[^ ]*python[0-9.]* [^ ]*bench/cdc_bench\.py",
+        r"-Dskipmap\.bench\.leg=1",
+    )
+    for pat in pats:
         out = subprocess.run(["pgrep", "-f", pat], capture_output=True,
                              text=True)
-        for pid in out.stdout.split():
-            if pid.isdigit() and int(pid) != me:
-                subprocess.run(["kill", pid], capture_output=True)
+        for pid_s in out.stdout.split():
+            pid = int(pid_s)
+            if pid == me:
+                continue
+            try:
+                pg = os.getpgid(pid)
+            except OSError:
+                continue
+            if pg == my_pg:
+                # same group as US (legacy launch without its own session):
+                # kill only the pid, never our own group
+                subprocess.run(["kill", str(pid)], capture_output=True)
+                continue
+            try:
+                os.killpg(pg, signal.SIGTERM)
+            except OSError:
+                subprocess.run(["kill", str(pid)], capture_output=True)
     return rc
 
 
@@ -114,9 +148,14 @@ def run_one(cpus: int, keys: int, events: int, epochs: int, mode: str,
     if in_flight > 1:
         cmd += ["--in-flight", str(in_flight)]
     # 3600s: first-ever invocation also generates the event log (~25 min
-    # single-core for 32M events; cached for every later run)
+    # single-core for 32M events; cached for every later run).
+    # start_new_session: the leg (driver + its pyspark JVM) forms its OWN
+    # process group, so the reaper can kill the whole tree and a dying
+    # parent never leaves a 16-core java orphan burning through later
+    # benches (ADVICE r4).
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600,
+        start_new_session=True,
     )
     lines = [ln for ln in out.stdout.strip().splitlines()
              if ln.startswith("{")]

@@ -23,7 +23,9 @@ CFG = {
     "min_cpu_headroom": 0.90,
     "min_mem_headroom": 0.85,
     "min_cpu_rate_small": 2.2,
+    "min_cpu_rate_big": 8.8,
     "min_mem_rate_small": 12.5,
+    "min_mem_rate_big": 47.5,
     "min_ev_pcpu_small": 91_000,
     "min_ev_pcpu_big": 87_000,
     "max_epoch_spread": 1.6,
@@ -47,9 +49,11 @@ def _leg(cpus: int, wall: float, ev_pcpu: float, *,
     }
 
 
-def _probe(cpu_head=0.99, mem_head=0.95, cpu_rate=2.7, mem_rate=15.0):
+def _probe(cpu_head=0.99, mem_head=0.95, cpu_rate=2.7, mem_rate=15.0,
+           cpu_rate_big=10.5, mem_rate_big=55.0):
     return {"cpu_headroom": cpu_head, "mem_headroom": mem_head,
-            "cpu_rate_small": cpu_rate, "mem_rate_small": mem_rate}
+            "cpu_rate_small": cpu_rate, "mem_rate_small": mem_rate,
+            "cpu_rate_big": cpu_rate_big, "mem_rate_big": mem_rate_big}
 
 
 def _clean_pair() -> dict:
@@ -120,3 +124,58 @@ def test_missing_probes_admit_when_legs_certify():
     p2 = copy.deepcopy(p)
     p2["small"]["events_per_proc_cpu_sec"] = 80_000
     assert not pair_valid(p2, CFG)
+
+
+def test_big_proc_rate_floor_rejects():
+    """ADVICE r4: the big-proc rates are the gate most sensitive to the
+    documented 16-proc bandwidth bursts — they now persist with the pair
+    and the finalizer replays them."""
+    p = _clean_pair()
+    p["mid_probe"]["mem_rate_big"] = 30.0  # burst cut the socket ~2x
+    assert not pair_valid(p, CFG)
+    p2 = _clean_pair()
+    p2["post_probe"]["cpu_rate_big"] = 5.0
+    assert not pair_valid(p2, CFG)
+
+
+def test_live_rejected_pair_never_resurrected():
+    """ADVICE r4: a pair the live campaign marked invalid (possibly on
+    fields the ledger no longer carries) stays invalid on replay."""
+    p = _clean_pair()
+    p["valid"] = False
+    assert not pair_valid(p, CFG)
+    p["valid"] = True  # recorded-valid pairs still re-face current rules
+    assert pair_valid(p, CFG)
+
+
+def test_probe_era_pair_without_big_rates_passes_probe_clause():
+    """Legacy pairs (big rates not persisted) must not be auto-failed by
+    the new floors — absent fields default permissive, and the recorded
+    live verdict (previous test) is what protects against resurrection."""
+    p = _clean_pair()
+    for k in ("pre_probe", "mid_probe", "post_probe"):
+        p[k].pop("cpu_rate_big")
+        p[k].pop("mem_rate_big")
+    p["valid"] = True
+    assert pair_valid(p, CFG)
+
+
+def test_stored_host_ncpu_used_for_fractions():
+    """ADVICE r4: steal/foreign fractions replay with the CPU count the
+    host had at bench time, not the replaying machine's."""
+    from tools.finalize_pairs import foreign_frac, steal_frac
+
+    p = _clean_pair()
+    leg = p["big"]
+    # same absolute steal seconds look dirty on a 32-cpu host but clean on
+    # a (hypothetical) 128-cpu one — the stored value must win
+    leg["steal_sec"] = 0.03 * leg["wall_sec"] * NCPU
+    leg["host_ncpu"] = NCPU
+    assert steal_frac(leg) > 0.02
+    leg["host_ncpu"] = NCPU * 4
+    assert steal_frac(leg) < 0.02
+    leg["cpu_sec"] = leg["proc_cpu_sec"] + 0.04 * leg["wall_sec"] * NCPU
+    leg["host_ncpu"] = NCPU
+    assert foreign_frac(leg) > 0.03
+    leg["host_ncpu"] = NCPU * 4
+    assert foreign_frac(leg) < 0.03

@@ -34,20 +34,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NCPU = os.cpu_count() or 32
 
 
+def _ncpu(rec: dict) -> int:
+    """Host CPU count AT BENCH TIME (stored in the record since r5 —
+    ADVICE r4: replaying the ledger on a different-shaped host silently
+    misclassified pairs); os.cpu_count() only for legacy rows."""
+    return int(rec.get("host_ncpu") or NCPU)
+
+
 def steal_frac(leg: dict) -> float:
-    return leg["steal_sec"] / max(leg["wall_sec"] * NCPU, 1e-9)
+    return leg["steal_sec"] / max(leg["wall_sec"] * _ncpu(leg), 1e-9)
 
 
 def foreign_frac(leg: dict) -> float:
     return ((leg["cpu_sec"] - leg["proc_cpu_sec"])
-            / max(leg["wall_sec"] * NCPU, 1e-9))
+            / max(leg["wall_sec"] * _ncpu(leg), 1e-9))
 
 
 def pair_valid(p: dict, cfg: dict) -> bool:
     """The r4 validity rules over a ledgered pair record; cfg keys mirror
     the CLI thresholds (max_steal_frac, max_foreign_frac, min_cpu_headroom,
-    min_mem_headroom, min_cpu_rate_small, min_mem_rate_small,
-    min_ev_pcpu_small, min_ev_pcpu_big, max_epoch_spread)."""
+    min_mem_headroom, min_cpu_rate_small/_big, min_mem_rate_small/_big,
+    min_ev_pcpu_small, min_ev_pcpu_big, max_epoch_spread).
+
+    ADVICE r4: pairs ledgered before the big-proc rates were persisted
+    cannot replay the rate floors most sensitive to bandwidth bursts, so
+    the recomputed verdict is ANDed with the verdict recorded LIVE — a
+    pair the live campaign rejected can never be resurrected here."""
 
     def probe_ok(pr: dict | None) -> bool:
         if pr is None:
@@ -55,7 +67,9 @@ def pair_valid(p: dict, cfg: dict) -> bool:
         return (pr["cpu_headroom"] >= cfg["min_cpu_headroom"]
                 and pr["mem_headroom"] >= cfg["min_mem_headroom"]
                 and pr.get("cpu_rate_small", 99) >= cfg["min_cpu_rate_small"]
-                and pr.get("mem_rate_small", 99) >= cfg["min_mem_rate_small"])
+                and pr.get("mem_rate_small", 99) >= cfg["min_mem_rate_small"]
+                and pr.get("cpu_rate_big", 1e9) >= cfg["min_cpu_rate_big"]
+                and pr.get("mem_rate_big", 1e9) >= cfg["min_mem_rate_big"])
 
     def leg_ok(leg: dict, floor: float) -> bool:
         eps = leg.get("per_epoch_sec") or []
@@ -63,6 +77,8 @@ def pair_valid(p: dict, cfg: dict) -> bool:
         return (leg["events_per_proc_cpu_sec"] >= floor
                 and spread <= cfg["max_epoch_spread"])
 
+    if p.get("valid") is False:
+        return False  # live campaign rejected it with data we may lack now
     s, b = p["small"], p["big"]
     return (steal_frac(s) < cfg["max_steal_frac"]
             and steal_frac(b) < cfg["max_steal_frac"]
@@ -86,7 +102,9 @@ def main() -> None:
     ap.add_argument("--min-cpu-headroom", type=float, default=0.90)
     ap.add_argument("--min-mem-headroom", type=float, default=0.85)
     ap.add_argument("--min-cpu-rate-small", type=float, default=4.4)
+    ap.add_argument("--min-cpu-rate-big", type=float, default=17.6)
     ap.add_argument("--min-mem-rate-small", type=float, default=24.0)
+    ap.add_argument("--min-mem-rate-big", type=float, default=95.0)
     ap.add_argument("--min-ev-pcpu-small", type=float, required=True)
     ap.add_argument("--min-ev-pcpu-big", type=float, required=True)
     ap.add_argument("--max-epoch-spread", type=float, default=1.6)
@@ -101,9 +119,18 @@ def main() -> None:
         print(json.dumps({"error": f"no pairs for sig {args.sig}"}))
         sys.exit(1)
 
+    # rate floors are the --n 4 calibration; scale unoverridden ones by
+    # n/4 like the live campaign does (probe kernels are near-proc-linear)
+    if args.n != 4:
+        scale = args.n / 4.0
+        for name in ("min_cpu_rate_small", "min_cpu_rate_big",
+                     "min_mem_rate_small", "min_mem_rate_big"):
+            if getattr(args, name) == ap.get_default(name):
+                setattr(args, name, round(ap.get_default(name) * scale, 2))
     cfg = {k: getattr(args, k) for k in (
         "max_steal_frac", "max_foreign_frac", "min_cpu_headroom",
-        "min_mem_headroom", "min_cpu_rate_small", "min_mem_rate_small",
+        "min_mem_headroom", "min_cpu_rate_small", "min_cpu_rate_big",
+        "min_mem_rate_small", "min_mem_rate_big",
         "min_ev_pcpu_small", "min_ev_pcpu_big", "max_epoch_spread")}
     vp = [p for p in pairs if pair_valid(p, cfg)]
     if not vp:
