@@ -250,9 +250,13 @@ def main() -> None:
     # for — both numbers in one line, neither standing in for the other.
     ann = None
     try:
+        # 2M rows: the size where scan cost dominates the ~0.7 s fixed job
+        # overhead (VERDICT r4 item 3 — at 40k/400k rows the wall ratio
+        # measured overhead, not the index). Corpus+index cache in /dev/shm
+        # across attempts and runs.
         ann = gated_phase("ann_neardup", lambda: _run_json(
             [sys.executable, os.path.join(_here, "bench", "ann_bench.py"),
-             "--rows", "400000", "--dim", "128", "--planes", "10",
+             "--rows", "2000000", "--dim", "128", "--planes", "10",
              "--cpus", str(cpus)], timeout=1800))
     except Exception as e:
         errors["ann_neardup"] = f"{type(e).__name__}: {e}"[:300]

@@ -128,17 +128,22 @@ def main() -> None:
     # ivf_topk couples train+query in one call (that is the oracled query
     # shape); train on a 4k sample here — at ingest a deployment trains
     # once and persists the centroid table, so the query-phase cost is the
-    # cell scan alone
+    # cell scan alone. At >=1M rows the per-call full-table assignment
+    # dominates (~60 s at 2M) — one rep bounds the phase wall; the
+    # min-of-reps burst protection is the LSH/brute numbers' job.
+    ivf_reps = 1 if args.rows >= 1_000_000 else 3
     t_ivf, r_ivf = timed(
         lambda: similarity.ivf_topk(df, k=args.k, n_cells=16, iters=1,
                                     query_id=args.query_id,
-                                    train_limit=4096).collect())
+                                    train_limit=4096).collect(),
+        reps=ivf_reps)
     # multi-probe (VERDICT r4 item 4): 4 nearest cells of 16 — recovers
     # boundary-straddling neighbors at ~4x the single-cell scan
     t_ivf_mp, r_ivf_mp = timed(
         lambda: similarity.ivf_topk(df, k=args.k, n_cells=16, iters=1,
                                     query_id=args.query_id,
-                                    train_limit=4096, probes=4).collect())
+                                    train_limit=4096, probes=4).collect(),
+        reps=ivf_reps)
 
     brute_ids = [r["vec_id"] for r in r_brute]
     out = {

@@ -99,7 +99,80 @@ def leg_cmd(events_dir: str, n_events: int, epochs: int, mode: str,
     ]
 
 
+NCPU = os.cpu_count() or 32
+
+
+def run_a_leg(full_dir: str, args) -> dict | None:
+    """1 executor (4-core JVM), whole log, shards x the partitions so
+    rows-per-task match the B shards."""
+    out = subprocess.run(
+        leg_cmd(full_dir, args.events, args.epochs, args.mode, args.warmup,
+                args.sha, args.sp * args.shards),
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        start_new_session=True)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        return None
+    return json.loads(lines[-1])
+
+
+def run_b_leg(meta: dict, args) -> dict | None:
+    """``shards`` executors concurrently, each replaying its own shard in
+    its own 4-core JVM (own heap/GC — the real-cluster runtime shape)."""
+    procs = []
+    for s in range(args.shards):
+        sdir = _shm_copy(os.path.join(meta["outdir"], f"shard{s}"),
+                         f"shard{args.shards}_{args.events}_{s}")
+        n_ev = meta["counts"].get(str(s), meta["counts"].get(s))
+        procs.append(subprocess.Popen(
+            leg_cmd(sdir, n_ev, args.epochs, args.mode, args.warmup,
+                    args.sha, args.sp),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=REPO, start_new_session=True))
+    shard_results = []
+    for p in procs:
+        sout, _ = p.communicate(timeout=3600)
+        lines = [ln for ln in sout.splitlines() if ln.startswith("{")]
+        if not lines:
+            return None
+        shard_results.append(json.loads(lines[-1]))
+    # bench-internal wall of the slowest executor — symmetric with the A
+    # leg's wall_sec, which also excludes JVM startup and untimed warmup
+    b_wall = max(r["wall_sec"] for r in shard_results)
+    slowest = max(shard_results, key=lambda r: r["wall_sec"])
+    tot_events = sum(r["n_events"] for r in shard_results)
+    # steady: exclude each shard's first epoch, take the max shard steady
+    # window (the cluster is as fast as its slowest executor)
+    b_steady_wall = max(
+        sum(r["per_epoch_sec"][1:]) + r["compact_sec"] for r in shard_results)
+    b_steady_events = sum(
+        r["n_events"] - r["n_events"] // r["n_epochs"] for r in shard_results)
+    return {
+        "executors": args.shards,
+        "wall_sec": round(b_wall, 3),
+        "n_events": tot_events,
+        "events_per_sec": round(tot_events / b_wall, 1),
+        "steady_events_per_sec": round(b_steady_events / b_steady_wall, 1),
+        "proc_cpu_sec": round(sum(r["proc_cpu_sec"] for r in shard_results),
+                              1),
+        "events_per_proc_cpu_sec": round(
+            tot_events / max(sum(r["proc_cpu_sec"] for r in shard_results),
+                             1e-9), 1),
+        # system counters from the slowest shard: its window spans (almost
+        # exactly) the whole concurrent B window, so its cpu_sec/steal_sec
+        # are the union-window host numbers
+        "cpu_sec": slowest["cpu_sec"],
+        "steal_sec": slowest["steal_sec"],
+        "per_shard_steady": [r["steady_events_per_sec"]
+                             for r in shard_results],
+        "per_shard_events": [r["n_events"] for r in shard_results],
+        "per_epoch_sec": slowest["per_epoch_sec"],
+        "host_ncpu": NCPU,
+    }
+
+
 def main() -> None:
+    from bench import hostprobe
     from bench.scaling import kill_stray_probes, wait_quiet
 
     kill_stray_probes()
@@ -114,83 +187,262 @@ def main() -> None:
     ap.add_argument("--sp", type=int, default=32,
                     help="shuffle partitions PER EXECUTOR shard (same "
                          "rows/task in both legs)")
-    ap.add_argument("--wait-quiet", action="store_true")
+    # --- r4 paired-protocol gates (VERDICT r4 item 2: the r3-era sharded
+    # evidence predates them). Probe floors are the 4/16-proc calibration
+    # (the executor shapes here ARE 4 and 16 procs).
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--max-attempts", type=int, default=24)
+    ap.add_argument("--max-wall-s", type=float, default=10800)
+    ap.add_argument("--quiet-threshold", type=float, default=0.02)
+    ap.add_argument("--max-steal-frac", type=float, default=0.02)
+    ap.add_argument("--max-foreign-frac", type=float, default=0.03)
+    ap.add_argument("--min-cpu-headroom", type=float, default=0.90)
+    ap.add_argument("--min-mem-headroom", type=float, default=0.85)
+    ap.add_argument("--min-cpu-rate-small", type=float, default=4.4)
+    ap.add_argument("--min-cpu-rate-big", type=float, default=17.6)
+    ap.add_argument("--min-mem-rate-small", type=float, default=24.0)
+    ap.add_argument("--min-mem-rate-big", type=float, default=95.0)
+    # per-leg clean-history efficiency floors (events/proc-cpu-sec); 0
+    # disables (calibration runs) — a campaign MUST set both
+    ap.add_argument("--min-ev-pcpu-a", type=float, default=0.0)
+    ap.add_argument("--min-ev-pcpu-b", type=float, default=0.0)
+    ap.add_argument("--max-epoch-spread", type=float, default=1.6)
+    ap.add_argument("--calibrate", action="store_true",
+                    help="run ONE pair with leg floors disabled (quiet "
+                         "window + probes still gate) to measure clean "
+                         "per-CPU rates for floor setting")
     args = ap.parse_args()
+
+    if args.calibrate:
+        args.pairs = 1
+    elif not (args.min_ev_pcpu_a and args.min_ev_pcpu_b):
+        ap.error("--min-ev-pcpu-a/--min-ev-pcpu-b are required for a "
+                 "campaign (run --calibrate first to measure clean rates)")
 
     meta = ensure_split(args.keys, args.events, args.epochs, args.shards)
     from bench.cdc_bench import ensure_event_log
 
     full_dir = ensure_event_log(args.keys, args.events, args.epochs)
+    sig = (f"sharded{args.shards}_k{args.keys}_e{args.events}_p{args.epochs}"
+           f"_{args.mode}_{args.sha}_sp{args.sp}")
+    phase_path = os.path.join(REPO, "BENCH", "host_phase.jsonl")
+    hist_path = os.path.join(REPO, "BENCH", "sharded_history.jsonl")
+    pairs_path = os.path.join(REPO, "BENCH", "sharded_pairs.jsonl")
 
-    # ----- A leg: 1 executor, whole log. Same per-task rows: the full log
-    # is shards x bigger, so it gets shards x the partitions.
-    pre_a = wait_quiet() if args.wait_quiet else None
-    out = subprocess.run(
-        leg_cmd(full_dir, args.events, args.epochs, args.mode, args.warmup,
-                args.sha, args.sp * args.shards),
-        capture_output=True, text=True, cwd=REPO, timeout=3600)
-    a = json.loads([ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1])
+    def host_probe(tag: str) -> dict:
+        pr = hostprobe.probe(4, 4 * args.shards)
+        pr["tag"] = f"sharded-{tag}"
+        with open(phase_path, "a") as f:
+            f.write(json.dumps(pr) + "\n")
+        return pr
 
-    # ----- B leg: `shards` executors concurrently, each its own shard.
-    pre_b = wait_quiet() if args.wait_quiet else None
-    procs = []
-    t0 = time.monotonic()
-    for s in range(args.shards):
-        sdir = _shm_copy(os.path.join(meta["outdir"], f"shard{s}"),
-                         f"shard{args.shards}_{args.events}_{s}")
-        procs.append(subprocess.Popen(
-            leg_cmd(sdir, meta["counts"][str(s)] if str(s) in meta["counts"]
-                    else meta["counts"][s],
-                    args.epochs, args.mode, args.warmup, args.sha, args.sp),
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            cwd=REPO))
-    shard_results = []
-    for p in procs:
-        sout, _ = p.communicate(timeout=3600)
-        shard_results.append(json.loads(
-            [ln for ln in sout.splitlines() if ln.startswith("{")][-1]))
-    _ = time.monotonic() - t0
-    # bench-internal wall of the slowest executor — symmetric with the A
-    # leg's wall_sec, which also excludes JVM startup and untimed warmup
-    b_wall = max(r["wall_sec"] for r in shard_results)
+    def probe_ok(pr: dict) -> bool:
+        return (pr["cpu_headroom"] >= args.min_cpu_headroom
+                and pr["mem_headroom"] >= args.min_mem_headroom
+                and pr["cpu_rate_small"] >= args.min_cpu_rate_small
+                and pr["cpu_rate_big"] >= args.min_cpu_rate_big
+                and pr["mem_rate_small"] >= args.min_mem_rate_small
+                and pr["mem_rate_big"] >= args.min_mem_rate_big)
 
-    tot_events = sum(r["n_events"] for r in shard_results)
-    # steady: exclude each shard's first epoch, take the max shard steady
-    # window (the cluster is as fast as its slowest executor)
-    b_steady_wall = max(
-        sum(r["per_epoch_sec"][1:]) + r["compact_sec"] for r in shard_results)
-    b_steady_events = sum(
-        r["n_events"] - r["n_events"] // r["n_epochs"] for r in shard_results)
-    b = {
-        "executors": args.shards,
-        "wall_sec": round(b_wall, 3),
-        "events_per_sec": round(tot_events / b_wall, 1),
-        "steady_events_per_sec": round(b_steady_events / b_steady_wall, 1),
-        "proc_cpu_sec": round(sum(r["proc_cpu_sec"] for r in shard_results), 1),
-        "steal_sec": max(r["steal_sec"] for r in shard_results),
-        "per_shard_steady": [r["steady_events_per_sec"] for r in shard_results],
-        "per_shard_events": [r["n_events"] for r in shard_results],
+    def leg_ok(leg: dict, floor: float) -> bool:
+        if not floor:
+            return True
+        eps = leg.get("per_epoch_sec") or []
+        spread = (max(eps) / max(min(eps), 1e-9)) if eps else 1.0
+        return (leg["events_per_proc_cpu_sec"] >= floor
+                and spread <= args.max_epoch_spread)
+
+    t_start = time.time()
+    valid: list[dict] = []
+    attempt = 0
+    while (len(valid) < args.pairs and attempt < args.max_attempts
+           and time.time() - t_start < args.max_wall_s):
+        attempt += 1
+        a_first = attempt % 2 == 1
+        pre = wait_quiet(threshold=args.quiet_threshold,
+                         max_wait_s=min(1800, args.max_wall_s / 4))
+        pre_probe = host_probe("pre")
+        if not probe_ok(pre_probe):
+            print(f"# pair {attempt}: window unusable "
+                  f"(cpu {pre_probe['cpu_headroom']}, "
+                  f"mem {pre_probe['mem_headroom']}, rates "
+                  f"{pre_probe['cpu_rate_big']}/{pre_probe['mem_rate_big']})"
+                  " — ledgered, retrying", file=sys.stderr, flush=True)
+            time.sleep(60)
+            continue
+        mid_probe = None
+        a = b = None
+        for which in (("a", "b") if a_first else ("b", "a")):
+            r = (run_a_leg(full_dir, args) if which == "a"
+                 else run_b_leg(meta, args))
+            if r is None:
+                break
+            if which == "a":
+                a = r
+                a["host_ncpu"] = NCPU
+            else:
+                b = r
+            if mid_probe is None:
+                mid_probe = host_probe("mid")
+        if a is None or b is None:
+            print(f"# pair {attempt}: a leg died, retrying",
+                  file=sys.stderr, flush=True)
+            continue
+        post_probe = host_probe("post")
+        a["events_per_proc_cpu_sec"] = round(
+            a["n_events"] / max(a["proc_cpu_sec"], 1e-9), 1)
+        fr_a = a["steal_sec"] / max(a["wall_sec"] * NCPU, 1e-9)
+        fr_b = b["steal_sec"] / max(b["wall_sec"] * NCPU, 1e-9)
+        fo_a = ((a["cpu_sec"] - a["proc_cpu_sec"])
+                / max(a["wall_sec"] * NCPU, 1e-9))
+        fo_b = ((b["cpu_sec"] - b["proc_cpu_sec"])
+                / max(b["wall_sec"] * NCPU, 1e-9))
+        ok = (fr_a < args.max_steal_frac and fr_b < args.max_steal_frac
+              and fo_a < args.max_foreign_frac
+              and fo_b < args.max_foreign_frac
+              and probe_ok(mid_probe) and probe_ok(post_probe)
+              and leg_ok(a, args.min_ev_pcpu_a)
+              and leg_ok(b, args.min_ev_pcpu_b))
+        pair = {
+            "ts": time.time(),
+            "sig": sig,
+            "order": "A-first" if a_first else "B-first",
+            "pre_steal_frac": round(pre, 4),
+            "steal_frac_a": round(fr_a, 4),
+            "steal_frac_b": round(fr_b, 4),
+            "foreign_frac_a": round(fo_a, 4),
+            "foreign_frac_b": round(fo_b, 4),
+            "pre_probe": pre_probe,
+            "mid_probe": mid_probe,
+            "post_probe": post_probe,
+            "host_ncpu": NCPU,
+            "valid": ok,
+            "calibration": bool(args.calibrate),
+            "eff_wall": round(
+                (b["events_per_sec"] / a["events_per_sec"]) / args.shards, 4),
+            "eff_steady": round(
+                (b["steady_events_per_sec"] / a["steady_events_per_sec"])
+                / args.shards, 4),
+            "eff_cpu": round(
+                (a["proc_cpu_sec"] / a["n_events"])
+                / (b["proc_cpu_sec"] / b["n_events"]), 4),
+            "a": a,
+            "b": b,
+        }
+        with open(pairs_path, "a") as f:
+            f.write(json.dumps(pair) + "\n")
+        with open(hist_path, "a") as f:
+            f.write(json.dumps({"ts": pair["ts"], "sig": sig,
+                                "protocol": "sharded-paired",
+                                "a": a, "b": b}) + "\n")
+        if ok:
+            valid.append(pair)
+        print(f"# pair {attempt} ({pair['order']}): steady "
+              f"{pair['eff_steady']} cpu {pair['eff_cpu']} "
+              f"ev/pcpu A {a['events_per_proc_cpu_sec']:.0f} "
+              f"B {b['events_per_proc_cpu_sec']:.0f} "
+              f"steal {fr_a:.3f}/{fr_b:.3f} foreign {fo_a:.3f}/{fo_b:.3f} "
+              f"{'VALID' if ok else 'dirty'} ({len(valid)}/{args.pairs})",
+              file=sys.stderr, flush=True)
+
+    if not valid:
+        print(json.dumps({"error": "no valid pairs", "attempts": attempt,
+                          "sig": sig}))
+        return
+    import statistics
+
+    med = statistics.median(p["eff_steady"] for p in valid)
+    med_wall = statistics.median(p["eff_wall"] for p in valid)
+    med_cpu = statistics.median(p["eff_cpu"] for p in valid)
+    summary = {
+        "sig": sig,
+        "eff_steady_median": round(med, 3),
+        "eff_wall_median": round(med_wall, 3),
+        "eff_cpu_median": round(med_cpu, 3),
+        "valid_pairs": len(valid),
+        "attempted": attempt,
+        "range": [round(min(p["eff_steady"] for p in valid), 3),
+                  round(max(p["eff_steady"] for p in valid), 3)],
+        "calibration": bool(args.calibrate),
     }
+    if not args.calibrate:
+        _write_sharded_md(args, sig, valid, attempt, med, med_wall, med_cpu)
+        summary["out"] = "BENCH/SHARDED.md"
+    print(json.dumps(summary))
 
-    eff_total = (b["events_per_sec"] / a["events_per_sec"]) / args.shards
-    eff_steady = (b["steady_events_per_sec"]
-                  / a["steady_events_per_sec"]) / args.shards
-    eff_cpu = (a["proc_cpu_sec"] / a["n_events"]) / (
-        b["proc_cpu_sec"] / tot_events)
 
-    rec = {"ts": datetime.now(timezone.utc).isoformat(),
-           "protocol": "sharded-executors",
-           "events": args.events, "epochs": args.epochs, "mode": args.mode,
-           "sha": args.sha, "sp_per_exec": args.sp,
-           "pre_steal_a": pre_a, "pre_steal_b": pre_b,
-           "eff_total": round(eff_total, 3),
-           "eff_steady": round(eff_steady, 3),
-           "eff_cpu": round(eff_cpu, 3),
-           "a": a, "b": b}
-    with open(os.path.join(REPO, "BENCH", "sharded_history.jsonl"), "a") as f:
-        f.write(json.dumps(rec) + "\n")
-    print(json.dumps(rec))
+def _write_sharded_md(args, sig, valid, attempted, med, med_wall,
+                      med_cpu) -> None:
+    headline = min(valid, key=lambda p: abs(p["eff_steady"] - med))
+    a, b = headline["a"], headline["b"]
+    lo = min(p["eff_steady"] for p in valid)
+    hi = max(p["eff_steady"] for p in valid)
+    with open(os.path.join(REPO, "BENCH", "SHARDED.md"), "w") as f:
+        f.write(f"""# Sharded-executor scaling evidence (r4 paired protocol)
+
+Generated {datetime.now(timezone.utc).isoformat()} by
+`bench/scaling_sharded.py` — the multi-JVM stand-in for "N vs 4N
+executors" (repo BASELINE.md), now under the FULL r4 paired protocol
+(VERDICT r4 item 2): executor := a 4-core local[4] JVM with its own
+8 GB heap/GC; the key space is bucket-range-owned (executor i owns
+global buckets b with b % {args.shards} == i — a binlog router ships
+each change to its owner, no cross-executor shuffle for the
+key-partitioned MERGE, like co-located bucketed writes). A = 1 executor
+replaying the whole {args.events:,}-event log; B = {args.shards}
+executors running CONCURRENTLY, each its shard; B wall = slowest
+executor. Per-executor config identical in both legs (4 cores, 8 GB
+heap, {args.sp} shuffle partitions per {args.events // args.shards // 10**6}M-event
+shard — same rows per task).
+
+Validity gates per pair (identical to BENCH/BASELINE.md's campaign):
+verified-quiet window before leg 1; legs back-to-back, order
+alternating; pre/mid/post `bench/hostprobe.py` brackets at 4/{4 * args.shards}
+procs passing headroom >= {args.min_cpu_headroom}/{args.min_mem_headroom}
+AND absolute rates >= cpu {args.min_cpu_rate_small}/{args.min_cpu_rate_big},
+mem {args.min_mem_rate_small}/{args.min_mem_rate_big} GB/s; both legs'
+in-run steal < {args.max_steal_frac:.0%} and in-host foreign CPU
+< {args.max_foreign_frac:.0%} of host capacity; each leg >= its
+clean-history per-CPU efficiency floor
+({args.min_ev_pcpu_a:.0f} / {args.min_ev_pcpu_b:.0f} events/proc-CPU-sec
+for A / B) with timed-epoch spread <= {args.max_epoch_spread}.
+**Headline = MEDIAN valid pair.** Every pair (dirty included) in
+`BENCH/sharded_pairs.jsonl`, probes in `BENCH/host_phase.jsonl`.
+
+Campaign `{sig}`: {attempted} pairs attempted, {len(valid)} valid.
+
+## Median valid pair
+
+| leg | shape | wall sec | events/sec | steady events/sec | ev/proc-cpu-s | steal frac | foreign frac |
+|---|---|---|---|---|---|---|---|
+| A | 1 x local[4] JVM, whole log | {a['wall_sec']} | {a['events_per_sec']} | {a['steady_events_per_sec']} | {a['events_per_proc_cpu_sec']:.0f} | {headline['steal_frac_a']} | {headline['foreign_frac_a']} |
+| B | {args.shards} x local[4] JVMs, concurrent | {b['wall_sec']} | {b['events_per_sec']} | {b['steady_events_per_sec']} | {b['events_per_proc_cpu_sec']:.0f} | {headline['steal_frac_b']} | {headline['foreign_frac_b']} |
+
+B per-shard steady events/s: {b['per_shard_steady']}
+
+**Scaling efficiency (median over {len(valid)} valid pairs):**
+
+- steady wall-clock: **{med:.3f}** (target >= 0.8); raw wall:
+  **{med_wall:.3f}**; valid-pair range [{lo:.3f}, {hi:.3f}]
+- per-event proc-CPU efficiency: **{med_cpu:.3f}**
+
+## Per-pair detail (valid pairs)
+
+| # | order | eff steady | eff wall | eff cpu | ev/pcpu A/B | steal A/B | foreign A/B |
+|---|---|---|---|---|---|---|---|
+""")
+        for i, p in enumerate(sorted(valid, key=lambda p: p["ts"]), 1):
+            f.write(f"| {i} | {p['order']} | {p['eff_steady']} | "
+                    f"{p['eff_wall']} | {p['eff_cpu']} | "
+                    f"{p['a']['events_per_proc_cpu_sec']:.0f}/"
+                    f"{p['b']['events_per_proc_cpu_sec']:.0f} | "
+                    f"{p['steal_frac_a']}/{p['steal_frac_b']} | "
+                    f"{p['foreign_frac_a']}/{p['foreign_frac_b']} |\n")
+        f.write("""
+The two stand-ins bracket a real cluster: the single-JVM protocol
+(BENCH/BASELINE.md) overstates runtime sharing at 4N (one heap/GC for
+all threads); this one omits network. The r3-era storm-hit runs remain
+in `BENCH/sharded_history.jsonl` for the record.
+""")
 
 
 if __name__ == "__main__":
