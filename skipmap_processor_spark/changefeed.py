@@ -232,8 +232,11 @@ def table_changes(lake: LakeTable, from_version: int,
     # O(candidate rows), never O(affected-bucket rows).
     mani_from = _manifest_or_expired(lake, from_version)
     base = (
+        # buckets were computed under mani_to's spec; mani_from may predate a
+        # rescale — buckets_nb maps the prune exactly across specs
         lake._read_files(mani_to,
-                         lake.file_entries(mani_from, buckets=buckets))
+                         lake.file_entries(mani_from, buckets=buckets,
+                                           buckets_nb=nb))
         .join(keys, KEY_COLS, "inner")
         .localCheckpoint(eager=True)
     )

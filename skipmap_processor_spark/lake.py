@@ -75,6 +75,32 @@ def bucket_expr(num_buckets: int):
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(num_buckets))
 
 
+def _spec_prune(file_nb: int, req_nb: int, bset: set[int]) -> set[int] | None:
+    """Bucket ids IN THE FILE'S SPEC SPACE that can contain a key whose
+    bucket under ``req_nb`` is in ``bset``.
+
+    Exact for any two specs where one divides the other — guaranteed table-
+    wide by ``rescale_buckets``'s grow-only integer-factor rule:
+
+    - same spec: identity;
+    - file coarser (file_nb | req_nb): ``h % file_nb == (h % req_nb) %
+      file_nb``, so only the image of ``bset`` mod file_nb can match;
+    - file finer (req_nb | file_nb): every fine bucket whose residue mod
+      req_nb is requested.
+
+    Returns None when the specs are incomparable (never happens under the
+    rescale rule; callers must then read everything — prune nothing, stay
+    correct)."""
+    if file_nb == req_nb:
+        return bset
+    if req_nb % file_nb == 0:
+        return {b % file_nb for b in bset}
+    if file_nb % req_nb == 0:
+        step = file_nb // req_nb
+        return {b + i * req_nb for b in bset for i in range(step)}
+    return None
+
+
 def _schema_to_struct(cols: list[dict]) -> T.StructType:
     return T.StructType(
         [T.StructField(c["name"], T._parse_datatype_string(c["type"])) for c in cols]
@@ -273,13 +299,20 @@ class LakeTable:
         return cache[rel]
 
     def _write_shard(self, entries: list[dict],
-                     origin: str = "append") -> dict:
+                     origin: str = "append", nb: int | None = None) -> dict:
         """``origin`` rides in the descriptor so the change feed's candidate
         discovery is O(changes) without loading snapshots: ``append`` shards
         (merge deltas, CoW bucket outputs, compact folds) contain ONLY
         brand-new data-file paths; ``rewrite`` shards (filtered replacements
         from _rewrite_shards) contain ONLY carried paths. Data files are
-        immutable uuid-named, so a path never moves between the classes."""
+        immutable uuid-named, so a path never moves between the classes.
+
+        ``nb`` is the bucket-spec (num_buckets) the entries' bucket ids were
+        computed under — after ``rescale_buckets`` a table holds files from
+        several specs and every pruning/rewrite decision needs the writing
+        spec, not the current one. None (legacy callers) means "the table's
+        current spec at read time", which is only safe before the first
+        rescale; all internal callers pass it explicitly."""
         rel = os.path.join("manifests", f"s-{uuid.uuid4().hex}.json")
         with open(os.path.join(self.path, rel), "w") as f:
             json.dump(entries, f)
@@ -290,58 +323,113 @@ class LakeTable:
             b = str(int(fe["bucket"]))
             bc[b] = bc.get(b, 0) + 1
         self.__dict__.setdefault("_shard_cache", {})[rel] = entries
-        return {"path": rel, "n": len(entries), "bucket_counts": bc,
+        desc = {"path": rel, "n": len(entries), "bucket_counts": bc,
                 "origin": origin}
+        if nb is not None:
+            desc["nb"] = int(nb)
+        return desc
 
     def file_entries(self, mani: dict | None = None,
-                     buckets: list[int] | None = None) -> list[dict]:
+                     buckets: list[int] | None = None,
+                     buckets_nb: int | None = None) -> list[dict]:
         """All live data-file entries (legacy inline + sharded). With
         ``buckets``, shard loads are pruned via descriptor bucket_counts —
-        a point lookup reads O(shards touching those buckets) metadata."""
+        a point lookup reads O(shards touching those buckets) metadata.
+
+        ``buckets`` is interpreted in the ``buckets_nb`` spec space (default:
+        this manifest's num_buckets). After a rescale, files written under an
+        older spec are pruned through the exact divisibility map
+        (``_spec_prune``); returned entries carry ``nb`` — the spec their
+        bucket id lives in."""
         mani = mani or self.manifest()
+        cur_nb = int(mani["num_buckets"])
+        req_nb = int(buckets_nb) if buckets_nb is not None else cur_nb
         bset = set(int(b) for b in buckets) if buckets is not None else None
-        out = [fe for fe in mani.get("files", [])
-               if bset is None or int(fe["bucket"]) in bset]
+        out = []
+        for fe in mani.get("files", []):
+            fe_nb = int(fe.get("nb", cur_nb))
+            fe["nb"] = fe_nb
+            if bset is not None:
+                need = _spec_prune(fe_nb, req_nb, bset)
+                if need is not None and int(fe["bucket"]) not in need:
+                    continue
+            out.append(fe)
         for sd in mani.get("shards", []):
-            if bset is not None and not any(
-                int(b) in bset for b in sd["bucket_counts"]
-            ):
-                continue
-            out.extend(
-                fe for fe in self._load_shard(sd["path"])
-                if bset is None or int(fe["bucket"]) in bset
-            )
+            sd_nb = int(sd.get("nb", cur_nb))
+            need = None
+            if bset is not None:
+                need = _spec_prune(sd_nb, req_nb, bset)
+                if need is not None and not any(
+                    int(b) in need for b in sd["bucket_counts"]
+                ):
+                    continue
+            for fe in self._load_shard(sd["path"]):
+                fe["nb"] = sd_nb
+                if need is None or int(fe["bucket"]) in need:
+                    out.append(fe)
         return out
 
     def _rewrite_shards(self, mani: dict, drop) -> None:
         """Drop entries where ``drop(fe)`` is true. Shards losing no entries
-        are carried by reference; others get a filtered replacement."""
-        mani["files"] = [fe for fe in mani.get("files", []) if not drop(fe)]
+        are carried by reference; others get a filtered replacement (which
+        inherits the source shard's bucket spec — its entries' bucket ids
+        are in that space). Entries reach ``drop`` annotated with ``nb``."""
+        cur_nb = int(mani["num_buckets"])
+        kept_inline = []
+        for fe in mani.get("files", []):
+            fe["nb"] = int(fe.get("nb", cur_nb))
+            if not drop(fe):
+                kept_inline.append(fe)
+        mani["files"] = kept_inline
         out = []
         for sd in mani.get("shards", []):
+            sd_nb = int(sd.get("nb", cur_nb))
             entries = self._load_shard(sd["path"])
+            for fe in entries:
+                fe["nb"] = sd_nb
             kept = [fe for fe in entries if not drop(fe)]
             if len(kept) == len(entries):
                 out.append(sd)
             elif kept:
-                out.append(self._write_shard(kept, origin="rewrite"))
+                out.append(self._write_shard(kept, origin="rewrite",
+                                             nb=sd_nb))
         mani["shards"] = out
+
+    @staticmethod
+    def _live_specs(mani: dict) -> set[int]:
+        """Bucket specs (num_buckets values) present among live files —
+        descriptor-only, no shard loads. Empty table → empty set."""
+        cur_nb = int(mani["num_buckets"])
+        specs = {int(fe.get("nb", cur_nb)) for fe in mani.get("files", [])}
+        specs |= {int(sd.get("nb", cur_nb)) for sd in mani.get("shards", [])}
+        return specs
 
     @staticmethod
     def _has_multi(mani: dict) -> bool:
         """True if any bucket holds >1 file (MOR deltas present) — computed
-        from descriptors, no shard loads."""
-        counts: dict[int, int] = {}
+        from descriptors, no shard loads. Buckets are counted per SPEC
+        ((nb, bucket)), and a table holding files from two specs is always
+        multi: a key's old-spec row and new-spec delta live in different
+        bucket numbers, so per-number counts alone would miss the overlap
+        and the read path would skip the LWW fold it needs."""
+        cur_nb = int(mani["num_buckets"])
+        specs: set[int] = set()
+        counts: dict[tuple[int, int], int] = {}
         for fe in mani.get("files", []):
-            b = int(fe["bucket"])
-            counts[b] = counts.get(b, 0) + 1
-            if counts[b] > 1:
+            k = (int(fe.get("nb", cur_nb)), int(fe["bucket"]))
+            specs.add(k[0])
+            counts[k] = counts.get(k, 0) + 1
+            if counts[k] > 1 or len(specs) > 1:
                 return True
         for sd in mani.get("shards", []):
+            sd_nb = int(sd.get("nb", cur_nb))
+            specs.add(sd_nb)
+            if len(specs) > 1:
+                return True
             for b, c in sd["bucket_counts"].items():
-                bi = int(b)
-                counts[bi] = counts.get(bi, 0) + int(c)
-                if counts[bi] > 1:
+                k = (sd_nb, int(b))
+                counts[k] = counts.get(k, 0) + int(c)
+                if counts[k] > 1:
                     return True
         return False
 
@@ -513,6 +601,16 @@ class LakeTable:
         mani = self.manifest(version)
         files = self.file_entries(mani, buckets=buckets)
         df = self._read_files(mani, files)
+        if buckets is not None:
+            nb = int(mani["num_buckets"])
+            if any(int(fe["nb"]) != nb for fe in files):
+                # a coarser-spec file covers several current buckets — its
+                # extra rows must not leak into a bucket-scoped read. The
+                # filter is key-determined, so applying it below the LWW
+                # window is semantics-preserving (one hash per row, no
+                # shuffle).
+                df = df.filter(
+                    bucket_expr(nb).isin([int(b) for b in buckets]))
         if mani["properties"].get("has_deltas"):
             # MOR read path: LWW window resolves multi-version keys.
             # _epoch desc tie-break: verbatim duplicate deliveries landed in
@@ -738,50 +836,92 @@ class LakeTable:
         # /root/reference/src/clustering/database/
         # PostgreSQLClusteringDatabase.ts:46-55,136-172 (pool of 10 +
         # deadlock retry).
-        # Bucket discovery runs BEFORE locking: it only reads the batch,
-        # and nb is create-time-fixed. The caller's fused one-pass profile
-        # (affected_buckets) saves the probe job; otherwise probe, caching
-        # the batch so the Arrow normalize+sha stage doesn't run twice.
-        act = actions.withColumn("_bucket", bucket_expr(nb))
-        persisted = False
-        if affected_buckets is not None:
-            affected = sorted(int(b) for b in affected_buckets)
-        else:
-            act = act.persist()
-            persisted = True
-            affected = sorted(
-                r["_bucket"] for r in act.select("_bucket").distinct().collect()
-            )
-        lock_dir = os.path.join(self.path, "_locks")
-        os.makedirs(lock_dir, exist_ok=True)
-        fds: list[int] = []
+        # Bucket discovery runs BEFORE locking: it only reads the batch.
+        # The caller's fused one-pass profile (affected_buckets) saves the
+        # probe job; otherwise probe, caching the batch so the Arrow
+        # normalize+sha stage doesn't run twice. nb is NOT create-time-fixed
+        # (rescale_buckets): the manifest is reloaded under the locks and a
+        # spec change restarts discovery in the new space.
+        base_affected = (sorted(int(b) for b in affected_buckets)
+                         if affected_buckets is not None else None)
+        persisted_df = None
+        probed: list[int] | None = None
         try:
-            for b in affected:
-                fd = os.open(os.path.join(lock_dir, f"b{b}.lock"),
-                             os.O_CREAT | os.O_RDWR, 0o644)
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                fds.append(fd)
-            # reload under the locks: a writer sharing any bucket may have
-            # committed (and applied this very epoch) while we waited
-            mani = self.manifest(self._latest_version())
-            if epoch is not None and self._epoch_applied(mani, epoch):
-                return {"skipped": True, "epoch": epoch,
-                        "hwm_epoch": int(mani["properties"]["hwm_epoch"])}
-            payload = self.payload_columns(mani)
-            pay_types = {c["name"]: c["type"] for c in self.current_schema(mani)}
-            for col in payload:
-                if col not in act.columns:
-                    act = act.withColumn(
-                        col, F.lit(None).cast(pay_types[col]))
-            return self._merge_cow_locked(
-                act, epoch, mani, files_per_bucket, affected,
-                post_commit_mutate)
+            for _restart in range(8):
+                act = actions.withColumn("_bucket", bucket_expr(nb))
+                if base_affected is not None:
+                    affected = base_affected
+                elif probed is not None:
+                    # re-express the old-space probe in the new space: the
+                    # preimage is a superset of the batch's true new-space
+                    # bucket set — extra locks/reads, never a miss
+                    affected = probed
+                else:
+                    act = persisted_df = act.persist()
+                    probed = sorted(
+                        r["_bucket"]
+                        for r in act.select("_bucket").distinct().collect())
+                    affected = probed
+                # Closure under legacy specs: a coarse file touched by any
+                # affected bucket spans several current buckets — all of
+                # them must be locked, read, and rewritten together or a
+                # concurrent writer on a sibling bucket would race the same
+                # file. Closing w.r.t. the COARSEST live spec covers every
+                # finer spec too (divisibility chain).
+                specs = self._live_specs(self.manifest(self._latest_version()))
+                s_min = min(specs | {nb})
+                if s_min != nb:
+                    img = {b % s_min for b in affected}
+                    affected = [b for b in range(nb) if b % s_min in img]
+                affected = sorted(set(affected))
+                lock_dir = os.path.join(self.path, "_locks")
+                os.makedirs(lock_dir, exist_ok=True)
+                fds: list[int] = []
+                try:
+                    for b in affected:
+                        fd = os.open(os.path.join(lock_dir, f"b{b}.lock"),
+                                     os.O_CREAT | os.O_RDWR, 0o644)
+                        fcntl.flock(fd, fcntl.LOCK_EX)
+                        fds.append(fd)
+                    # reload under the locks: a writer sharing any bucket may
+                    # have committed (and applied this very epoch) while we
+                    # waited — and rescale_buckets may have changed the spec
+                    # (it holds ALL bucket locks to commit, so seeing the old
+                    # nb here means it cannot commit until we release)
+                    mani = self.manifest(self._latest_version())
+                    if int(mani["num_buckets"]) != nb:
+                        new_nb = int(mani["num_buckets"])
+                        if base_affected is not None:
+                            base_affected = sorted(
+                                _spec_prune(new_nb, nb, set(base_affected)))
+                        if probed is not None:
+                            probed = sorted(
+                                _spec_prune(new_nb, nb, set(probed)))
+                        nb = new_nb
+                        continue
+                    if epoch is not None and self._epoch_applied(mani, epoch):
+                        return {"skipped": True, "epoch": epoch,
+                                "hwm_epoch": int(
+                                    mani["properties"]["hwm_epoch"])}
+                    payload = self.payload_columns(mani)
+                    pay_types = {c["name"]: c["type"]
+                                 for c in self.current_schema(mani)}
+                    for col in payload:
+                        if col not in act.columns:
+                            act = act.withColumn(
+                                col, F.lit(None).cast(pay_types[col]))
+                    return self._merge_cow_locked(
+                        act, epoch, mani, files_per_bucket, affected,
+                        post_commit_mutate)
+                finally:
+                    for fd in fds:
+                        fcntl.flock(fd, fcntl.LOCK_UN)
+                        os.close(fd)
+            raise CommitConflict(
+                "CoW merge: bucket spec kept changing under us (8 restarts)")
         finally:
-            for fd in fds:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-                os.close(fd)
-            if persisted:
-                act.unpersist()
+            if persisted_df is not None:
+                persisted_df.unpersist()
 
     def _merge_cow_locked(self, act: DataFrame, epoch: int | None,
                           mani: dict, files_per_bucket: int,
@@ -850,8 +990,21 @@ class LakeTable:
         result.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
 
         new_files = self._scan_written(out_dir, mani["schema_version"])
-        new_desc = self._write_shard(new_files)
+        new_desc = self._write_shard(new_files, nb=nb)
         affected_set = set(affected)
+
+        def _covered(fe: dict) -> bool:
+            # spec-aware: EXACTLY the read-set predicate file_entries used
+            # for `old` above, so every dropped file's rows were rewritten
+            # and every kept file has no rows in the affected set — no loss,
+            # no duplication, and legacy files touched by this merge are
+            # migrated to the current spec as a side effect.
+            need = _spec_prune(int(fe["nb"]), nb, affected_set)
+            if need is None:  # pragma: no cover - grow-only rule forbids it
+                raise AssertionError(
+                    f"incomparable bucket specs {fe['nb']} vs {nb}")
+            return int(fe["bucket"]) in need
+
         # atomic: data + schema + HWM commit together. Holding this bucket
         # set's locks, a conflicting commit is either metadata-only
         # (add/rename/drop column) or a CoW merge over a DISJOINT bucket
@@ -859,8 +1012,7 @@ class LakeTable:
         # winner's manifest (drop our buckets' files, append our shard) and
         # retrying: the winner never touched our buckets.
         for attempt in range(20):
-            self._rewrite_shards(
-                mani, lambda fe: int(fe["bucket"]) in affected_set)
+            self._rewrite_shards(mani, _covered)
             mani["shards"] = mani["shards"] + [new_desc]
             mani["version"] = new_version
             if epoch is not None:
@@ -963,7 +1115,7 @@ class LakeTable:
             return {"aborted": True, "epoch": epoch}
 
         new_files = self._scan_written(out_dir, mani["schema_version"])
-        new_desc = self._write_shard(new_files)
+        new_desc = self._write_shard(new_files, nb=nb)
         _t2 = _time.monotonic()
         # optimistic CAS commit: delta appends commute, so a conflict rebases
         # by re-appending our shard onto the winner's manifest and retrying
@@ -1092,6 +1244,86 @@ class LakeTable:
 
     # ------------------------------------------------------------- maintenance
 
+    def rescale_buckets(self, new_nb: int) -> dict:
+        """Grow the bucket spec to ``new_nb`` (an integer multiple of the
+        current one) — metadata-only, O(1) data movement.
+
+        At 10^2 TB a create-time bucket count stops fitting: 32 buckets over
+        100 TB is ~3 TB per CoW rewrite unit and per lookup scan. This is
+        Iceberg's partition-spec-evolution trade (spec v2: old data files
+        keep their old partitioning, new writes use the new one): existing
+        files stay valid under their recorded spec (``nb`` on each shard
+        descriptor), new writes bucket by the new spec, and reads/lookups
+        prune EXACTLY across specs because grow-only integer factors give
+        ``h % old == (h % new) % old``. Migration is lazy: ``compact()``
+        folds old-spec files into the current spec (and CoW merges migrate
+        the files they touch as a side effect) — no stop-the-world rewrite.
+
+        Concurrency: commits while holding every current-space bucket lock,
+        so no CoW rewrite is in flight across the spec flip (CoW writers
+        reload under their locks and restart on a spec change); MOR appends
+        need no coordination — their shards are stamped with the spec they
+        bucketed under, whichever side of the flip they land. One caveat for
+        external pre-partitioned fast-path writers (streaming pipeline):
+        quiesce them across the flip or let their batch fall back to the
+        general path.
+
+        Shrink is intentionally unsupported: growth keeps all live specs on
+        one divisibility chain, which is what makes cross-spec pruning exact.
+        Reference precedent for the fixed-shard pain this removes:
+        /root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts
+        (pool sized at construction, resharding = manual dump/reload)."""
+        cur = int(self.manifest()["num_buckets"])
+        if int(new_nb) == cur:
+            return {"rescaled": False, "num_buckets": cur}
+        if new_nb < cur or new_nb % cur != 0:
+            raise ValueError(
+                f"rescale must grow by an integer factor: {cur} -> {new_nb}")
+
+        lock_dir = os.path.join(self.path, "_locks")
+        os.makedirs(lock_dir, exist_ok=True)
+        fds: list[int] = []
+        try:
+            for b in range(cur):
+                fd = os.open(os.path.join(lock_dir, f"b{b}.lock"),
+                             os.O_CREAT | os.O_RDWR, 0o644)
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                fds.append(fd)
+
+            def mutate(mani: dict) -> bool:
+                old = int(mani["num_buckets"])
+                if old == int(new_nb):
+                    return False
+                if new_nb % old != 0:  # pragma: no cover - serialized above
+                    raise ValueError(
+                        f"rescale must grow by an integer factor: "
+                        f"{old} -> {new_nb}")
+                # stamp every live descriptor/entry that predates spec
+                # tracking: from here on, "no nb" would be ambiguous
+                for fe in mani.get("files", []):
+                    fe.setdefault("nb", old)
+                for sd in mani.get("shards", []):
+                    sd.setdefault("nb", old)
+                mani["num_buckets"] = int(new_nb)
+                hist = mani["properties"].setdefault("bucket_spec_history", [])
+                hist.append({"nb": old, "until_version": mani["version"]})
+                # MOR mixed specs ⇒ a key's old-spec row and new-spec delta
+                # sit in two bucket numbers; readers must LWW-fold until
+                # compact() migrates. CoW is exempt: its merges rewrite the
+                # whole spec-closure, so a key never has two live rows.
+                if (mani["properties"].get("merge_mode") == "mor"
+                        and self._live_specs(mani) - {int(new_nb)}):
+                    mani["properties"]["has_deltas"] = True
+                return True
+
+            mani = self._commit_with_rebase(mutate)
+            return {"rescaled": True, "num_buckets": int(new_nb),
+                    "version": int(mani["version"])}
+        finally:
+            for fd in fds:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
     def compact(self, target_files_per_bucket: int = 1,
                 retention_epochs: int | None = None) -> dict:
         """Rewrite buckets whose file count exceeds the target, folding MOR
@@ -1115,17 +1347,34 @@ class LakeTable:
         are carried, has_deltas recomputed)."""
         mani = self.manifest()
         base_version = mani["version"]
+        nb_cur = int(mani["num_buckets"])
         hwm = int(mani["properties"]["hwm_epoch"])
-        by_bucket: dict[int, list[dict]] = {}
+        # bucket ids only collide within a spec — key groups by (nb, bucket)
+        by_bucket: dict[tuple[int, int], list[dict]] = {}
         for fe in self.file_entries(mani):
-            by_bucket.setdefault(int(fe["bucket"]), []).append(fe)
+            by_bucket.setdefault(
+                (int(fe["nb"]), int(fe["bucket"])), []).append(fe)
         if retention_epochs is not None:
             # retention pass rewrites every non-empty bucket: old tombstones
             # may hide in single-file buckets the file-count rule would skip
             todo = dict(by_bucket)
         else:
-            todo = {b: fs for b, fs in by_bucket.items()
-                    if len(fs) > target_files_per_bucket}
+            # old-spec files always fold (compaction is the migration path
+            # after rescale_buckets — the rewrite partitions by the CURRENT
+            # bucket expr, so everything it writes lands in the new spec)
+            todo = {k: fs for k, fs in by_bucket.items()
+                    if len(fs) > target_files_per_bucket or k[0] != nb_cur}
+            # a folding legacy bucket's keys land in several current buckets;
+            # any current-spec file already in those buckets must fold too,
+            # or its rows would duplicate the fold output (forcing the LWW
+            # read window to stay on forever)
+            cover: set[int] = set()
+            for (fnb, fb) in todo:
+                if fnb != nb_cur:
+                    cover |= {fb + i * fnb for i in range(nb_cur // fnb)}
+            for k, fs in by_bucket.items():
+                if k not in todo and k[0] == nb_cur and k[1] in cover:
+                    todo[k] = fs
         folded = self.fold_ledger()
         if not todo:
             return {"compacted_buckets": 0, "ledger_files_folded": folded}
@@ -1179,7 +1428,7 @@ class LakeTable:
             self.path, f"data/v{new_version}-compact-{uuid.uuid4().hex[:8]}")
         df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
         new_files = self._scan_written(out_dir, mani["schema_version"])
-        new_desc = self._write_shard(new_files)
+        new_desc = self._write_shard(new_files, nb=nb)
         for attempt in range(20):
             self._rewrite_shards(mani, lambda fe: fe["path"] in folded_paths)
             mani["shards"] = mani["shards"] + [new_desc]
