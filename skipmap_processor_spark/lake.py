@@ -101,6 +101,42 @@ def _spec_prune(file_nb: int, req_nb: int, bset: set[int]) -> set[int] | None:
     return None
 
 
+_STATS_COLS = ("commit", "_epoch")
+
+
+def _footer_stats(md) -> dict:
+    """File-level min/max for the ord columns, aggregated from the parquet
+    footer's row-group statistics (zero extra I/O — the footer is already
+    read for row counts). Powers manifest-level data skipping: an
+    incremental consumer asking "rows with commit > X" prunes every file
+    whose max commit <= X without opening it (Iceberg manifest-stats
+    analog). Absent stats (legacy files, missing column) simply disable
+    skipping for that file — never unsound."""
+    try:
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out = {}
+        for col in _STATS_COLS:
+            if col not in idx:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                    mx = mx.decode("utf-8", "replace")
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is not None:
+                out[col] = [lo, hi]
+        return out
+    except Exception:  # pragma: no cover - stats are advisory, never fatal
+        return {}
+
+
 def _schema_to_struct(cols: list[dict]) -> T.StructType:
     return T.StructType(
         [T.StructField(c["name"], T._parse_datatype_string(c["type"])) for c in cols]
@@ -652,6 +688,59 @@ class LakeTable:
                        with_engine_cols=True)
         return df.join(F.broadcast(keys), KEY_COLS, "left_semi")
 
+    def files_since(self, commit_floor: str,
+                    mani: dict | None = None) -> tuple[list[dict], int]:
+        """(files that may hold a row with commit > floor, n_skipped) —
+        manifest-level data skipping on the footer ord stats. A file is
+        skipped only when its recorded max commit <= floor; files without
+        stats are kept (sound, just unpruned)."""
+        mani = mani or self.manifest()
+        keep, skipped = [], 0
+        for fe in self.file_entries(mani):
+            st = fe.get("stats", {}).get("commit")
+            if st is not None and st[1] <= commit_floor:
+                skipped += 1
+            else:
+                keep.append(fe)
+        return keep, skipped
+
+    def read_since(self, commit_floor: str,
+                   include_deleted: bool = True) -> DataFrame:
+        """Keys whose CURRENT winning version has ``commit > commit_floor``
+        — the ord-based incremental scan (CDC-out by ordinal rather than by
+        manifest version; complements changefeed.table_changes when the
+        consumer tracks the source ord, the reference's cursor pattern:
+        /root/reference/src/utils/PostgresCache.ts:209-317).
+
+        Cost is O(files whose max commit > floor): for a steadily-ingesting
+        MOR table that is the recent delta files, not the table. Exact under
+        pruning: a skipped file holds only rows with ord <= floor; a key
+        whose true winner has ord > floor keeps that winner (and every
+        competitor that could outrank survivors) in unskipped files, and a
+        key whose true winner is <= floor is either wholly skipped or
+        removed by the post-filter — both correct. Deletes surface as
+        tombstone rows (include_deleted=False drops them)."""
+        mani = self.manifest()
+        files, _ = self.files_since(commit_floor, mani)
+        df = self._read_files(mani, files)
+        if mani["properties"].get("has_deltas"):
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*KEY_COLS).orderBy(
+                F.col("commit").desc(),
+                F.col("event_seq").desc(),
+                F.col("_epoch").desc(),
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        df = df.filter(F.col("commit") > F.lit(commit_floor))
+        if not include_deleted:
+            df = df.filter(~F.col("is_deleted"))
+        return df
+
     def payload_name_map(self, mani: dict | None = None) -> dict[str, str]:
         """original (schema v1 / source) field name -> current column name."""
         mani = mani or self.manifest()
@@ -1178,18 +1267,24 @@ class LakeTable:
                     paths.append((b, os.path.join(out_dir, bdir, fn)))
         # footer reads in parallel: at 100+ files/epoch this is otherwise
         # ~0.5s of serial driver time (part of the Amdahl term)
+        def _footer(t):
+            md = pq.ParquetFile(t[1]).metadata
+            return md.num_rows, _footer_stats(md)
+
         with ThreadPoolExecutor(max_workers=16) as ex:
-            rows = list(ex.map(lambda t: pq.ParquetFile(t[1]).metadata.num_rows,
-                               paths))
-        return [
-            {
+            metas = list(ex.map(_footer, paths))
+        out = []
+        for (b, fp), (n, stats) in zip(paths, metas):
+            fe = {
                 "path": os.path.relpath(fp, self.path),
                 "bucket": b,
                 "schema_version": schema_version,
                 "rows": n,
             }
-            for (b, fp), n in zip(paths, rows)
-        ]
+            if stats:
+                fe["stats"] = stats
+            out.append(fe)
+        return out
 
     # ------------------------------------------------------------- ledger
 
