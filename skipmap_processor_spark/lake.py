@@ -1269,17 +1269,18 @@ class LakeTable:
         # ~0.5s of serial driver time (part of the Amdahl term)
         def _footer(t):
             md = pq.ParquetFile(t[1]).metadata
-            return md.num_rows, _footer_stats(md)
+            return md.num_rows, _footer_stats(md), os.path.getsize(t[1])
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             metas = list(ex.map(_footer, paths))
         out = []
-        for (b, fp), (n, stats) in zip(paths, metas):
+        for (b, fp), (n, stats, nbytes) in zip(paths, metas):
             fe = {
                 "path": os.path.relpath(fp, self.path),
                 "bucket": b,
                 "schema_version": schema_version,
                 "rows": n,
+                "bytes": nbytes,
             }
             if stats:
                 fe["stats"] = stats
@@ -1338,6 +1339,129 @@ class LakeTable:
         self.read().write.mode("overwrite").option("header", True).csv(out_dir)
 
     # ------------------------------------------------------------- maintenance
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """Commit history, newest first (Delta ``DESCRIBE HISTORY`` /
+        Iceberg snapshots analog; reference job-ledger precedent:
+        /root/reference/src/clustering/database/DatabaseInitializer.ts
+        run-metadata tables). One dict per retained manifest version:
+        version, commit_kind, spec, HWM, live file/row counts (descriptor
+        sums, no shard loads). Vacuumed versions are simply absent."""
+        latest = self._latest_version()
+        out = []
+        for v in range(latest, -1, -1):
+            if limit is not None and len(out) >= limit:
+                break
+            try:
+                mani = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            n_files = len(mani.get("files", [])) + sum(
+                int(sd["n"]) for sd in mani.get("shards", []))
+            out.append({
+                "version": v,
+                "commit_kind": mani.get("commit_kind", "unknown"),
+                "num_buckets": int(mani["num_buckets"]),
+                "schema_version": int(mani["schema_version"]),
+                "hwm_epoch": int(mani["properties"]["hwm_epoch"]),
+                "merge_mode": mani["properties"].get("merge_mode"),
+                "has_deltas": bool(mani["properties"].get("has_deltas")),
+                "live_files": n_files,
+                "shards": len(mani.get("shards", [])),
+            })
+        return out
+
+    def table_stats(self, mani: dict | None = None) -> dict:
+        """Size/skew profile of the live table: totals plus per-bucket rows/
+        bytes/files (current-spec space) — the input a size-tiered
+        compaction policy or a skew monitor needs. Loads shards (O(live
+        files) metadata), no data I/O. Files written before byte tracking
+        count as bytes=0 and are tallied in ``files_without_bytes``."""
+        mani = mani or self.manifest()
+        nb = int(mani["num_buckets"])
+        per: dict[int, dict] = {}
+        tot_rows = tot_bytes = no_bytes = 0
+        max_depth = 0
+        for fe in self.file_entries(mani):
+            # a coarse-spec file spans several current buckets; attribute it
+            # to its own bucket id reduced into current space (approximate
+            # by design — stats, not correctness)
+            b = int(fe["bucket"]) % nb
+            d = per.setdefault(b, {"rows": 0, "bytes": 0, "files": 0})
+            d["rows"] += int(fe.get("rows", 0))
+            d["bytes"] += int(fe.get("bytes", 0))
+            d["files"] += 1
+            max_depth = max(max_depth, d["files"])
+            tot_rows += int(fe.get("rows", 0))
+            tot_bytes += int(fe.get("bytes", 0))
+            if "bytes" not in fe:
+                no_bytes += 1
+        rows_list = sorted((d["rows"] for d in per.values()), reverse=True)
+        skew = (rows_list[0] * len(rows_list) / max(sum(rows_list), 1)
+                if rows_list else 0.0)
+        return {
+            "version": int(mani["version"]),
+            "num_buckets": nb,
+            "live_files": sum(d["files"] for d in per.values()),
+            "total_rows": tot_rows,
+            "total_bytes": tot_bytes,
+            "files_without_bytes": no_bytes,
+            "max_files_per_bucket": max_depth,
+            "hot_bucket_row_skew": round(skew, 3),
+            "per_bucket": per,
+        }
+
+    def clone_to(self, dest: str, version: int | None = None) -> "LakeTable":
+        """Zero-copy snapshot clone — Delta SHALLOW CLONE / Nessie branch
+        analog: a dev/test branch of a production table without copying
+        data. Data files and ledger parquet are HARDLINKED (immutable once
+        referenced, so sharing is safe; each table may vacuum independently
+        — the inode survives until the last link drops). Shard JSONs are
+        rewritten (small). On an object store, swap the link for a
+        server-side copy or a ref-counting catalog; the manifest mechanics
+        are identical.
+
+        The clone starts at version 0 with commit_kind 'clone' and carries
+        the source's full ingest state (HWM, gaps, parked renames) — it is
+        a branch, resumable exactly where the source snapshot was."""
+        mani = json.loads(json.dumps(self.manifest(version)))
+        if os.path.exists(os.path.join(dest, "_VERSION")):
+            raise ValueError(f"clone destination {dest} is already a table")
+        os.makedirs(os.path.join(dest, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+        tbl = LakeTable(self.spark, dest)
+        # materialize ONE inline-free file list, then hardlink every data
+        # file and re-shard the entries in the clone (per source spec)
+        by_nb: dict[int, list[dict]] = {}
+        for fe in self.file_entries(mani):
+            by_nb.setdefault(int(fe["nb"]), []).append(fe)
+        for fes in by_nb.values():
+            for fe in fes:
+                src = os.path.join(self.path, fe["path"])
+                dst = os.path.join(dest, fe["path"])
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
+        mani["files"] = []
+        mani["shards"] = [tbl._write_shard(fes, nb=spec)
+                          for spec, fes in sorted(by_nb.items())]
+        led = os.path.join(self.path, "_ledger")
+        if os.path.isdir(led):
+            os.makedirs(os.path.join(dest, "_ledger"), exist_ok=True)
+            for fn in os.listdir(led):
+                if fn.endswith(".parquet"):
+                    try:
+                        os.link(os.path.join(led, fn),
+                                os.path.join(dest, "_ledger", fn))
+                    except FileNotFoundError:  # concurrent fold
+                        continue
+        mani["version"] = 0
+        mani["commit_kind"] = "clone"
+        mani["properties"]["cloned_from"] = {
+            "path": os.path.abspath(self.path),
+            "source_version": int(self.manifest(version)["version"]),
+        }
+        tbl._commit_manifest(mani)
+        return tbl
 
     def rescale_buckets(self, new_nb: int) -> dict:
         """Grow the bucket spec to ``new_nb`` (an integer multiple of the
