@@ -1543,10 +1543,65 @@ class LakeTable:
                 fcntl.flock(fd, fcntl.LOCK_UN)
                 os.close(fd)
 
+    def compaction_plan(self, max_delta_depth: int = 4,
+                        min_small_file_bytes: int = 32 << 20,
+                        max_rewrite_bytes: int | None = None) -> dict:
+        """Size-tiered compaction planner (Iceberg binpack-strategy analog):
+        decide WHICH buckets are worth folding, and how many output files
+        each should get, from descriptor metadata only.
+
+        A bucket qualifies when its delta chain is deeper than
+        ``max_delta_depth`` OR it is fragmented into small files (mean live
+        file under ``min_small_file_bytes``); old-spec files always qualify
+        (migration). ``max_rewrite_bytes`` caps one maintenance round —
+        deepest chains first — so at 10^2 TB compaction amortizes over
+        rounds instead of monopolizing the cluster. files_per_bucket is
+        sized so outputs land near ``min_small_file_bytes`` x 4 (readers
+        want few, large, sorted files)."""
+        mani = self.manifest()
+        nb = int(mani["num_buckets"])
+        per: dict[int, dict] = {}
+        for fe in self.file_entries(mani):
+            b = int(fe["bucket"]) % nb
+            d = per.setdefault(b, {"files": 0, "bytes": 0, "legacy": False})
+            d["files"] += 1
+            d["bytes"] += int(fe.get("bytes", 0))
+            if int(fe["nb"]) != nb:
+                d["legacy"] = True
+        cand = []
+        for b, d in per.items():
+            frag = (d["files"] > 1
+                    and d["bytes"] / d["files"] < min_small_file_bytes)
+            if d["legacy"] or d["files"] > max_delta_depth or frag:
+                cand.append((d["files"], b, d))
+        cand.sort(reverse=True)  # deepest chains first
+        chosen, budget = [], (max_rewrite_bytes
+                             if max_rewrite_bytes is not None else None)
+        for _depth, b, d in cand:
+            if budget is not None and d["bytes"] > budget and chosen:
+                continue
+            chosen.append(b)
+            if budget is not None:
+                budget -= d["bytes"]
+        target_bytes = min_small_file_bytes * 4
+        out_files = max(
+            1, round(max((per[b]["bytes"] for b in chosen), default=0)
+                     / max(target_bytes, 1)))
+        return {
+            "buckets": sorted(chosen),
+            "files_per_bucket": out_files,
+            "rewrite_bytes": sum(per[b]["bytes"] for b in chosen),
+            "deferred_buckets": len(cand) - len(chosen),
+        }
+
     def compact(self, target_files_per_bucket: int = 1,
-                retention_epochs: int | None = None) -> dict:
+                retention_epochs: int | None = None,
+                buckets: list[int] | None = None) -> dict:
         """Rewrite buckets whose file count exceeds the target, folding MOR
         deltas to one LWW-resolved row per key, and fold the lineage ledger.
+        ``buckets`` (current-space ids, e.g. from ``compaction_plan``)
+        restricts the round to those buckets — incremental maintenance at
+        scale instead of a whole-table pass.
         Analog of Iceberg rewrite_data_files; reference deferred-index
         precedent: /root/reference/src/clustering/services/DataLoader.ts:45-48.
 
@@ -1583,17 +1638,21 @@ class LakeTable:
             # bucket expr, so everything it writes lands in the new spec)
             todo = {k: fs for k, fs in by_bucket.items()
                     if len(fs) > target_files_per_bucket or k[0] != nb_cur}
-            # a folding legacy bucket's keys land in several current buckets;
-            # any current-spec file already in those buckets must fold too,
-            # or its rows would duplicate the fold output (forcing the LWW
-            # read window to stay on forever)
-            cover: set[int] = set()
-            for (fnb, fb) in todo:
-                if fnb != nb_cur:
-                    cover |= {fb + i * fnb for i in range(nb_cur // fnb)}
-            for k, fs in by_bucket.items():
-                if k not in todo and k[0] == nb_cur and k[1] in cover:
-                    todo[k] = fs
+        if buckets is not None:
+            bset = {int(b) for b in buckets}
+            todo = {k: fs for k, fs in todo.items() if k[1] % nb_cur in bset}
+        # a folding legacy bucket's keys land in several current buckets;
+        # any current-spec file already in those buckets must fold too, or
+        # its rows would duplicate the fold output (forcing the LWW read
+        # window to stay on forever). Runs after bucket scoping so a scoped
+        # round can never split a legacy bucket from its coverage.
+        cover: set[int] = set()
+        for (fnb, fb) in todo:
+            if fnb != nb_cur:
+                cover |= {fb + i * fnb for i in range(nb_cur // fnb)}
+        for k, fs in by_bucket.items():
+            if k not in todo and k[0] == nb_cur and k[1] in cover:
+                todo[k] = fs
         folded = self.fold_ledger()
         if not todo:
             return {"compacted_buckets": 0, "ledger_files_folded": folded}

@@ -116,3 +116,50 @@ def test_clone_survives_source_vacuum(spark, warehouse):
     dst.compact()
     dst.vacuum(keep_versions=1, grace_sec=0.0)
     assert _rows(src.read()) == want
+
+
+def test_compaction_plan_and_scoped_compact(spark, warehouse):
+    t = _build(spark, os.path.join(warehouse, "t"), epochs=6)
+    plan = t.compaction_plan(max_delta_depth=4, min_small_file_bytes=0)
+    # every touched bucket has 6 delta files > depth 4
+    st = t.table_stats()
+    deep = sorted(b for b, d in st["per_bucket"].items() if d["files"] > 4)
+    assert plan["buckets"] == deep and plan["rewrite_bytes"] > 0
+    # budget cap defers work instead of dropping it silently
+    one = t.compaction_plan(max_delta_depth=4, min_small_file_bytes=0,
+                            max_rewrite_bytes=1)
+    assert len(one["buckets"]) == 1 and one["deferred_buckets"] >= 1
+    # scoped round folds only the chosen bucket; the rest keep their chains
+    before = _rows(t.read())
+    target = plan["buckets"][0]
+    t.compact(target_files_per_bucket=4, buckets=[target])
+    st2 = t.table_stats()
+    assert st2["per_bucket"][target]["files"] == 1
+    others = [b for b in deep if b != target]
+    assert all(st2["per_bucket"][b]["files"] > 4 for b in others)
+    assert _rows(t.read()) == before
+    # second round finishes the job
+    plan2 = t.compaction_plan(max_delta_depth=4, min_small_file_bytes=0)
+    t.compact(target_files_per_bucket=4, buckets=plan2["buckets"])
+    assert t.table_stats()["max_files_per_bucket"] == 1
+    assert _rows(t.read()) == before
+
+
+def test_scoped_compact_respects_legacy_coverage(spark, warehouse):
+    t = _build(spark, os.path.join(warehouse, "t"), epochs=2)
+    t.rescale_buckets(8)
+    keys = [("r%d" % (i % 2), "f%02d.py" % i) for i in range(10)]
+    t.merge_batch(_mk_actions(
+        spark, [(r, p, c(5), i, "upsert", "go", "v5", "s")
+                for i, (r, p) in enumerate(keys)]), epoch=2)
+    before = _rows(t.read())
+    # scope to one legacy bucket's current-space id: the coverage rule must
+    # pull in its sibling current buckets so no duplicates survive
+    legacy = [fe for fe in t.file_entries() if fe["nb"] == 4]
+    assert legacy
+    b0 = int(legacy[0]["bucket"])  # current-space id == legacy id % 8 == id
+    t.compact(buckets=[b0])
+    assert _rows(t.read()) == before
+    # the scoped round migrated that legacy bucket
+    left = {int(fe["bucket"]) for fe in t.file_entries() if fe["nb"] == 4}
+    assert b0 not in left
