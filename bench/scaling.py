@@ -116,7 +116,22 @@ def _steal_fraction(window_s: float = 10.0, burn_threads: int = 16) -> float:
     finally:
         for p in burners:
             p.kill()
+        for p in burners:
+            try:  # reap: killed-but-unwaited burners pile up as zombies
+                p.wait(timeout=10)
+            except Exception:
+                pass
     return (s1 - s0) / max(t1 - t0, 1)
+
+
+# Measured r5 (BENCH/ROUND5_NOTES.md "probe cool-down artifact"): for
+# ~10-15 s after the burners die, the host's streaming-sum bandwidth is
+# depressed (e.g. 16-proc aggregate 104 -> 15-28 GB/s, recovering to ~94
+# by +15 s) — frequency/power-budget recovery after 10-40 s of 16-core
+# 100% load. A host-capability probe taken inside that window fails its
+# floors spuriously. Campaigns must sleep this long between wait_quiet()
+# (burner-based steal sampling) and hostprobe.probe().
+BURNER_SETTLE_S = 20.0
 
 
 def wait_quiet(threshold: float = 0.02, window_s: float = 10.0,

@@ -173,7 +173,7 @@ def run_b_leg(meta: dict, args) -> dict | None:
 
 def main() -> None:
     from bench import hostprobe
-    from bench.scaling import kill_stray_probes, wait_quiet
+    from bench.scaling import BURNER_SETTLE_S, kill_stray_probes, wait_quiet
 
     kill_stray_probes()
     ap = argparse.ArgumentParser()
@@ -197,11 +197,22 @@ def main() -> None:
     ap.add_argument("--max-steal-frac", type=float, default=0.02)
     ap.add_argument("--max-foreign-frac", type=float, default=0.03)
     ap.add_argument("--min-cpu-headroom", type=float, default=0.90)
-    ap.add_argument("--min-mem-headroom", type=float, default=0.85)
+    # mem_headroom on a QUIET host is the socket-saturation ratio, not a
+    # contention signal: r5 measured 4->16 streaming-sum 33->~100 GB/s
+    # (headroom 0.62-0.77, the memory controller's physical ceiling).
+    # The old 0.85 floor was calibrated on small-N rates depressed by the
+    # burner cool-down artifact (27.5 GB/s r4 median vs 33-36 clean) and
+    # rejects genuinely clean windows. Contention detection lives in the
+    # ABSOLUTE rate floors + cpu_headroom (cache-resident kernel, truly
+    # linear); 0.55 here only catches catastrophic big-N collapse.
+    ap.add_argument("--min-mem-headroom", type=float, default=0.55)
     ap.add_argument("--min-cpu-rate-small", type=float, default=4.4)
     ap.add_argument("--min-cpu-rate-big", type=float, default=17.6)
     ap.add_argument("--min-mem-rate-small", type=float, default=24.0)
-    ap.add_argument("--min-mem-rate-big", type=float, default=95.0)
+    # r5 quiet-host 16-proc samples: 86, 90, 94, 104 GB/s — the r4 floor
+    # of 95 sat above half the CLEAN ceiling samples. 80 still rejects
+    # the measured co-tenant burst mode (2-3x cuts -> 35-50 GB/s).
+    ap.add_argument("--min-mem-rate-big", type=float, default=80.0)
     # per-leg clean-history efficiency floors (events/proc-cpu-sec); 0
     # disables (calibration runs) — a campaign MUST set both
     ap.add_argument("--min-ev-pcpu-a", type=float, default=0.0)
@@ -230,6 +241,12 @@ def main() -> None:
     pairs_path = os.path.join(REPO, "BENCH", "sharded_pairs.jsonl")
 
     def host_probe(tag: str) -> dict:
+        # Every probe here follows heavy load (wait_quiet's 16-core
+        # burners, or a just-finished leg JVM): settle first so the
+        # measured rates are the host's capability, not its power/
+        # frequency recovery transient (BURNER_SETTLE_S rationale in
+        # bench/scaling.py; measured in BENCH/ROUND5_NOTES.md).
+        time.sleep(BURNER_SETTLE_S)
         pr = hostprobe.probe(4, 4 * args.shards)
         pr["tag"] = f"sharded-{tag}"
         with open(phase_path, "a") as f:
