@@ -41,6 +41,19 @@ def main() -> None:
     # (0.4% in-run steal) and 2-11% steal on every slow leg — host noise,
     # not the GC flags. So: quiet-gate EVERY phase and keep an in-run steal
     # ledger per phase so future regressions are attributable.
+    # Global wall budget: quiet-gating must degrade, not hang. Worst case
+    # ungated-budget arithmetic is ~5 phases x 3 attempts x (1h quiet wait
+    # + run) — a hostile host could stretch the official run past any
+    # driver timeout and the round would record NOTHING, which is strictly
+    # worse than a steal-annotated artifact. Past the deadline every
+    # remaining wait is skipped and every phase runs once, keeping its
+    # in-run steal ledger so a dirty number is still attributable.
+    bench_deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "7200"))
+
+    def _budget_left() -> float:
+        return bench_deadline - time.time()
+
     try:
         from bench.scaling import (BURNER_SETTLE_S, kill_stray_probes,
                                    wait_quiet)
@@ -55,6 +68,12 @@ def main() -> None:
             # frequency recovery — BENCH/ROUND5_NOTES.md). A phase started
             # inside that transient pays it in its published wall time, so
             # settle before handing the window to the measured job.
+            left = _budget_left()
+            # budget spent: stop WAITING (one steal sample, then measure
+            # regardless and ledger it) but keep the cool-down settle so
+            # the measured phase doesn't start in the burner transient
+            kw.setdefault("max_wait_s",
+                          0.0 if left <= 60 else min(900.0, left / 4))
             f = _raw_wait_quiet(*a, **kw)
             time.sleep(BURNER_SETTLE_S)
             return f
@@ -127,7 +146,8 @@ def main() -> None:
         pass_steals.append(
             round((s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4))
         if len(pass_steals) >= 2 and (min(pass_steals) < STEAL_BAR
-                                      or len(pass_steals) >= 4):
+                                      or len(pass_steals) >= 4
+                                      or _budget_left() <= 0):
             break
         if pass_steals[-1] >= STEAL_BAR and wait_quiet:
             wait_quiet()
@@ -215,6 +235,8 @@ def main() -> None:
                 best = (result, rec)
             if rec["in_run_steal_frac"] < STEAL_BAR:
                 break
+            if _budget_left() <= 0:  # no retry past the global deadline —
+                break  # keep the quietest attempt, annotated
         led = dict(best[1])
         led["attempts"] = len(attempts)
         rejected = [a for a in attempts if a is not best[1]]
@@ -326,6 +348,9 @@ def main() -> None:
         "cdc_cow": cdc_cow,
         "phases": phase_ledger,
         "session_conf": session_conf,
+        "budget_s": float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S",
+                                         "7200")),
+        "budget_exhausted": _budget_left() <= 0,
     }
     # Full detail goes to a file; stdout gets a COMPACT final line. The
     # driver records only the last 2000 chars of output — round 2's line
@@ -369,6 +394,8 @@ def main() -> None:
         },
         "detail": "BENCH/headline_full.json",
     }
+    if full["budget_exhausted"]:
+        compact["budget_exhausted"] = True
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # hard guarantee: never outgrow the capture window
         compact["queries"] = {k: round(v, 1) for k, v in

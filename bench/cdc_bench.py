@@ -332,6 +332,14 @@ def run(cpus: int, n_keys: int, n_events: int, n_epochs: int,
         "compact_sec": round(compact_sec, 3),
         "cpu_sec": round(cpu1 - cpu0, 1),
         "proc_cpu_sec": round(pcpu1 - pcpu0, 1),
+        # full-life tree CPU of this bench process (JVM still alive here, so
+        # the live /proc walk sees it): warmup + JVM startup + timed run.
+        # A parent measuring a system-CPU window around this subprocess can
+        # subtract this for an exact same-window foreign-CPU figure —
+        # per-shard timed windows are misaligned across concurrent shards,
+        # which made (slowest-window cpu_sec - sum of timed proc deltas)
+        # read phantom foreign of either sign (observed -0.039..+0.075).
+        "proc_cpu_life_sec": round(_tree_cpu(), 1),
         "events_per_proc_cpu_sec": round(n_events / max(pcpu1 - pcpu0, 1e-9), 1),
         "steal_sec": round(steal1 - steal0, 1),
         "gc_sec": round(gc1_sec - gc0_sec, 1),

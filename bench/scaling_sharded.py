@@ -102,40 +102,94 @@ def leg_cmd(events_dir: str, n_events: int, epochs: int, mode: str,
 NCPU = os.cpu_count() or 32
 
 
+def _sys_snap() -> tuple[float, float]:
+    """(busy_cpu_sec, steal_sec) system-wide (same fields cdc_bench uses)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    busy = vals[0] + vals[1] + vals[2]
+    busy += (vals[5] if len(vals) > 5 else 0) + (vals[6] if len(vals) > 6
+                                                 else 0)
+    return busy / 100.0, (vals[7] if len(vals) > 7 else 0) / 100.0
+
+
+class _LegWindow:
+    """System-CPU window spanning a leg's ENTIRE subprocess lifetime.
+
+    The in-bench counters (cpu_sec/steal_sec/proc_cpu_sec) cover each
+    shard's own TIMED window; across concurrent shards those windows are
+    misaligned (warmup/JVM-startup skew), so slowest-window system CPU
+    minus the sum of per-shard timed proc deltas reads phantom foreign CPU
+    of either sign (observed -0.039..+0.075 on an otherwise-quiet host).
+    Measuring busy/steal here, spawn-to-last-exit, against the shards'
+    full-life tree CPU (proc_cpu_life_sec) makes the foreign/steal gate
+    exact over one shared window."""
+
+    def __enter__(self):
+        self.b0, self.s0 = _sys_snap()
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall = time.time() - self.t0
+        b1, s1 = _sys_snap()
+        self.busy = b1 - self.b0
+        self.steal = s1 - self.s0
+
+    def attach(self, leg: dict, life_cpu: float) -> dict:
+        leg["window_wall_sec"] = round(self.wall, 3)
+        leg["window_busy_sec"] = round(self.busy, 1)
+        leg["window_steal_sec"] = round(self.steal, 1)
+        leg["window_life_cpu_sec"] = round(life_cpu, 1)
+        leg["window_steal_frac"] = round(
+            self.steal / max(self.wall * NCPU, 1e-9), 4)
+        leg["window_foreign_frac"] = round(
+            (self.busy - life_cpu) / max(self.wall * NCPU, 1e-9), 4)
+        return leg
+
+
 def run_a_leg(full_dir: str, args) -> dict | None:
     """1 executor (4-core JVM), whole log, shards x the partitions so
     rows-per-task match the B shards."""
-    out = subprocess.run(
-        leg_cmd(full_dir, args.events, args.epochs, args.mode, args.warmup,
-                args.sha, args.sp * args.shards),
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
-        start_new_session=True)
+    with _LegWindow() as w:
+        out = subprocess.run(
+            leg_cmd(full_dir, args.events, args.epochs, args.mode,
+                    args.warmup, args.sha, args.sp * args.shards),
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+            start_new_session=True)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
         return None
-    return json.loads(lines[-1])
+    leg = json.loads(lines[-1])
+    return w.attach(leg, leg.get("proc_cpu_life_sec", leg["proc_cpu_sec"]))
 
 
 def run_b_leg(meta: dict, args) -> dict | None:
     """``shards`` executors concurrently, each replaying its own shard in
     its own 4-core JVM (own heap/GC — the real-cluster runtime shape)."""
-    procs = []
-    for s in range(args.shards):
-        sdir = _shm_copy(os.path.join(meta["outdir"], f"shard{s}"),
-                         f"shard{args.shards}_{args.events}_{s}")
-        n_ev = meta["counts"].get(str(s), meta["counts"].get(s))
-        procs.append(subprocess.Popen(
-            leg_cmd(sdir, n_ev, args.epochs, args.mode, args.warmup,
-                    args.sha, args.sp),
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            cwd=REPO, start_new_session=True))
-    shard_results = []
-    for p in procs:
-        sout, _ = p.communicate(timeout=3600)
-        lines = [ln for ln in sout.splitlines() if ln.startswith("{")]
-        if not lines:
-            return None
-        shard_results.append(json.loads(lines[-1]))
+    # stage inputs BEFORE the measured window (first run pays a /dev/shm
+    # copy that would otherwise read as foreign-adjacent busy time)
+    sdirs = [_shm_copy(os.path.join(meta["outdir"], f"shard{s}"),
+                       f"shard{args.shards}_{args.events}_{s}")
+             for s in range(args.shards)]
+    with _LegWindow() as w:
+        procs = []
+        for s in range(args.shards):
+            n_ev = meta["counts"].get(str(s), meta["counts"].get(s))
+            procs.append(subprocess.Popen(
+                leg_cmd(sdirs[s], n_ev, args.epochs, args.mode, args.warmup,
+                        args.sha, args.sp),
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+                cwd=REPO, start_new_session=True))
+        shard_results = []
+        for p in procs:
+            sout, _ = p.communicate(timeout=3600)
+            lines = [ln for ln in sout.splitlines() if ln.startswith("{")]
+            if not lines:
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+                return None
+            shard_results.append(json.loads(lines[-1]))
     # bench-internal wall of the slowest executor — symmetric with the A
     # leg's wall_sec, which also excludes JVM startup and untimed warmup
     b_wall = max(r["wall_sec"] for r in shard_results)
@@ -147,7 +201,9 @@ def run_b_leg(meta: dict, args) -> dict | None:
         sum(r["per_epoch_sec"][1:]) + r["compact_sec"] for r in shard_results)
     b_steady_events = sum(
         r["n_events"] - r["n_events"] // r["n_epochs"] for r in shard_results)
-    return {
+    life_cpu = sum(r.get("proc_cpu_life_sec", r["proc_cpu_sec"])
+                   for r in shard_results)
+    return w.attach({
         "executors": args.shards,
         "wall_sec": round(b_wall, 3),
         "n_events": tot_events,
@@ -168,7 +224,7 @@ def run_b_leg(meta: dict, args) -> dict | None:
         "per_shard_events": [r["n_events"] for r in shard_results],
         "per_epoch_sec": slowest["per_epoch_sec"],
         "host_ncpu": NCPU,
-    }
+    }, life_cpu)
 
 
 def main() -> None:
@@ -308,12 +364,13 @@ def main() -> None:
         post_probe = host_probe("post")
         a["events_per_proc_cpu_sec"] = round(
             a["n_events"] / max(a["proc_cpu_sec"], 1e-9), 1)
-        fr_a = a["steal_sec"] / max(a["wall_sec"] * NCPU, 1e-9)
-        fr_b = b["steal_sec"] / max(b["wall_sec"] * NCPU, 1e-9)
-        fo_a = ((a["cpu_sec"] - a["proc_cpu_sec"])
-                / max(a["wall_sec"] * NCPU, 1e-9))
-        fo_b = ((b["cpu_sec"] - b["proc_cpu_sec"])
-                / max(b["wall_sec"] * NCPU, 1e-9))
+        # steal/foreign over the SAME full-lifetime window per leg (see
+        # _LegWindow) — the legacy timed-window arithmetic is kept in the
+        # leg dicts for cross-round comparability but no longer gates
+        fr_a = a["window_steal_frac"]
+        fr_b = b["window_steal_frac"]
+        fo_a = a["window_foreign_frac"]
+        fo_b = b["window_foreign_frac"]
         ok = (fr_a < args.max_steal_frac and fr_b < args.max_steal_frac
               and fo_a < args.max_foreign_frac
               and fo_b < args.max_foreign_frac
