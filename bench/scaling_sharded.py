@@ -5,7 +5,9 @@ the 4N leg share ONE heap, ONE GC, and ONE memory controller across all
 threads — a real 4N-executor cluster gives every executor its own. This
 protocol models executors faithfully:
 
-- executor := a 4-core local[4] JVM with its own 8 GB heap;
+- executor := a local[--exec-cores] JVM with its own heap (width 2 or
+  4; 2 keeps the B leg under this host's ~8-12-core delivery cliff,
+  see BENCH/ROUND5_NOTES.md "Host capacity cliff");
 - the key space is range-owned: executor i owns global buckets
   {b : b % n_shards == i} (standard bucket-range ownership — a binlog
   router ships each change to its bucket's owner, no cross-executor
@@ -88,10 +90,10 @@ def _shm_copy(src: str, sig: str) -> str:
 
 
 def leg_cmd(events_dir: str, n_events: int, epochs: int, mode: str,
-            warmup: int, sha: str, sp: int) -> list[str]:
+            warmup: int, sha: str, sp: int, cores: int = 4) -> list[str]:
     return [
         sys.executable, os.path.join(REPO, "bench", "cdc_bench.py"),
-        "--cpus", "4", "--keys", "300000", "--events", str(n_events),
+        "--cpus", str(cores), "--keys", "300000", "--events", str(n_events),
         "--epochs", str(epochs), "--mode", mode,
         "--warmup-epochs", str(warmup), "--sha", sha,
         "--shuffle-partitions", str(sp),
@@ -153,7 +155,8 @@ def run_a_leg(full_dir: str, args) -> dict | None:
     with _LegWindow() as w:
         out = subprocess.run(
             leg_cmd(full_dir, args.events, args.epochs, args.mode,
-                    args.warmup, args.sha, args.sp * args.shards),
+                    args.warmup, args.sha, args.sp * args.shards,
+                    args.exec_cores),
             capture_output=True, text=True, cwd=REPO, timeout=3600,
             start_new_session=True)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -177,7 +180,7 @@ def run_b_leg(meta: dict, args) -> dict | None:
             n_ev = meta["counts"].get(str(s), meta["counts"].get(s))
             procs.append(subprocess.Popen(
                 leg_cmd(sdirs[s], n_ev, args.epochs, args.mode, args.warmup,
-                        args.sha, args.sp),
+                        args.sha, args.sp, args.exec_cores),
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
                 cwd=REPO, start_new_session=True))
         shard_results = []
@@ -243,6 +246,19 @@ def main() -> None:
     ap.add_argument("--sp", type=int, default=32,
                     help="shuffle partitions PER EXECUTOR shard (same "
                          "rows/task in both legs)")
+    # Executor width. 4 was the r3-era default; the r5 capacity study
+    # (BENCH/ROUND5_NOTES.md "Host capacity cliff") measured this host
+    # delivering only ~8-12 concurrently-busy cores regardless of the 32
+    # visible vCPUs — 4 x local[4] (16 threads) runs each shard 2.4x
+    # slower with 2.5x the CPU per event, while 2 x local[4] and
+    # 4 x local[2] (8 threads) run at alone-speed. With no cgroup quota,
+    # zero guest-visible steal, and runnable threads sitting idle, that
+    # is host-level oversubscription the guest cannot ledger — so the
+    # campaign shape must fit under the cliff: --exec-cores 2 gives
+    # 1 executor (2 cores) vs 4 executors (8 cores), the same 2->8 shape
+    # as the single-JVM headline campaign (BENCH/BASELINE.md).
+    ap.add_argument("--exec-cores", type=int, default=4,
+                    help="cores per executor JVM in BOTH legs")
     # --- r4 paired-protocol gates (VERDICT r4 item 2: the r3-era sharded
     # evidence predates them). Probe floors are the 4/16-proc calibration
     # (the executor shapes here ARE 4 and 16 procs).
@@ -280,6 +296,22 @@ def main() -> None:
                          "per-CPU rates for floor setting")
     args = ap.parse_args()
 
+    if args.exec_cores != 4:
+        # Rate floors above are the 4/16-proc calibration; the streaming
+        # and spin kernels are near-linear in proc count (same scaling
+        # paired_scaling.py applies for --n != 4 per ADVICE r4), so scale
+        # by the actual probe shapes (small = exec_cores procs, big =
+        # exec_cores * shards).
+        s_small = args.exec_cores / 4.0
+        s_big = (args.exec_cores * args.shards) / 16.0
+        args.min_cpu_rate_small *= s_small
+        args.min_mem_rate_small *= s_small
+        args.min_cpu_rate_big *= s_big
+        # mem does NOT scale linearly into saturation (measured 4 -> 16
+        # procs: 33 -> ~100 GB/s, i.e. ~n^0.7), so scale the big-N mem
+        # floor sublinearly rather than by the proc ratio.
+        args.min_mem_rate_big *= s_big ** 0.7
+
     if args.calibrate:
         args.pairs = 1
     elif not (args.min_ev_pcpu_a and args.min_ev_pcpu_b):
@@ -291,7 +323,8 @@ def main() -> None:
 
     full_dir = ensure_event_log(args.keys, args.events, args.epochs)
     sig = (f"sharded{args.shards}_k{args.keys}_e{args.events}_p{args.epochs}"
-           f"_{args.mode}_{args.sha}_sp{args.sp}")
+           f"_{args.mode}_{args.sha}_sp{args.sp}"
+           + (f"_c{args.exec_cores}" if args.exec_cores != 4 else ""))
     phase_path = os.path.join(REPO, "BENCH", "host_phase.jsonl")
     hist_path = os.path.join(REPO, "BENCH", "sharded_history.jsonl")
     pairs_path = os.path.join(REPO, "BENCH", "sharded_pairs.jsonl")
@@ -303,7 +336,7 @@ def main() -> None:
         # frequency recovery transient (BURNER_SETTLE_S rationale in
         # bench/scaling.py; measured in BENCH/ROUND5_NOTES.md).
         time.sleep(BURNER_SETTLE_S)
-        pr = hostprobe.probe(4, 4 * args.shards)
+        pr = hostprobe.probe(args.exec_cores, args.exec_cores * args.shards)
         pr["tag"] = f"sharded-{tag}"
         with open(phase_path, "a") as f:
             f.write(json.dumps(pr) + "\n")
@@ -457,20 +490,26 @@ def _write_sharded_md(args, sig, valid, attempted, med, med_wall,
 Generated {datetime.now(timezone.utc).isoformat()} by
 `bench/scaling_sharded.py` — the multi-JVM stand-in for "N vs 4N
 executors" (repo BASELINE.md), now under the FULL r4 paired protocol
-(VERDICT r4 item 2): executor := a 4-core local[4] JVM with its own
-8 GB heap/GC; the key space is bucket-range-owned (executor i owns
-global buckets b with b % {args.shards} == i — a binlog router ships
-each change to its owner, no cross-executor shuffle for the
-key-partitioned MERGE, like co-located bucketed writes). A = 1 executor
-replaying the whole {args.events:,}-event log; B = {args.shards}
-executors running CONCURRENTLY, each its shard; B wall = slowest
-executor. Per-executor config identical in both legs (4 cores, 8 GB
-heap, {args.sp} shuffle partitions per {args.events // args.shards // 10**6}M-event
-shard — same rows per task).
+(VERDICT r4 item 2): executor := a {args.exec_cores}-core
+local[{args.exec_cores}] JVM with its own heap/GC; the key space is
+bucket-range-owned (executor i owns global buckets b with
+b % {args.shards} == i — a binlog router ships each change to its
+owner, no cross-executor shuffle for the key-partitioned MERGE, like
+co-located bucketed writes). A = 1 executor replaying the whole
+{args.events:,}-event log; B = {args.shards} executors running
+CONCURRENTLY, each its shard; B wall = slowest executor. Per-executor
+config identical in both legs ({args.exec_cores} cores, same heap,
+{args.sp} shuffle partitions per {args.events // args.shards // 10**6}M-event
+shard — same rows per task). Executor width {args.exec_cores} is set by
+the host-capacity study (BENCH/ROUND5_NOTES.md "Host capacity cliff"):
+this host reliably delivers only ~8-12 concurrently-busy cores, so the
+B leg must fit under that cliff for the measurement to be about the
+ENGINE rather than the hypervisor's CPU oversubscription.
 
 Validity gates per pair (identical to BENCH/BASELINE.md's campaign):
 verified-quiet window before leg 1; legs back-to-back, order
-alternating; pre/mid/post `bench/hostprobe.py` brackets at 4/{4 * args.shards}
+alternating; pre/mid/post `bench/hostprobe.py` brackets at
+{args.exec_cores}/{args.exec_cores * args.shards}
 procs passing headroom >= {args.min_cpu_headroom}/{args.min_mem_headroom}
 AND absolute rates >= cpu {args.min_cpu_rate_small}/{args.min_cpu_rate_big},
 mem {args.min_mem_rate_small}/{args.min_mem_rate_big} GB/s; both legs'
@@ -488,8 +527,8 @@ Campaign `{sig}`: {attempted} pairs attempted, {len(valid)} valid.
 
 | leg | shape | wall sec | events/sec | steady events/sec | ev/proc-cpu-s | steal frac | foreign frac |
 |---|---|---|---|---|---|---|---|
-| A | 1 x local[4] JVM, whole log | {a['wall_sec']} | {a['events_per_sec']} | {a['steady_events_per_sec']} | {a['events_per_proc_cpu_sec']:.0f} | {headline['steal_frac_a']} | {headline['foreign_frac_a']} |
-| B | {args.shards} x local[4] JVMs, concurrent | {b['wall_sec']} | {b['events_per_sec']} | {b['steady_events_per_sec']} | {b['events_per_proc_cpu_sec']:.0f} | {headline['steal_frac_b']} | {headline['foreign_frac_b']} |
+| A | 1 x local[{args.exec_cores}] JVM, whole log | {a['wall_sec']} | {a['events_per_sec']} | {a['steady_events_per_sec']} | {a['events_per_proc_cpu_sec']:.0f} | {headline['steal_frac_a']} | {headline['foreign_frac_a']} |
+| B | {args.shards} x local[{args.exec_cores}] JVMs, concurrent | {b['wall_sec']} | {b['events_per_sec']} | {b['steady_events_per_sec']} | {b['events_per_proc_cpu_sec']:.0f} | {headline['steal_frac_b']} | {headline['foreign_frac_b']} |
 
 B per-shard steady events/s: {b['per_shard_steady']}
 

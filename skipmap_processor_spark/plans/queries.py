@@ -720,17 +720,18 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 @q("sim_ivf_multiprobe", "§sim-ivf,S4",
-   similarity.ivf_duckdb_sql(k=8, iters=2, probes=3))
+   similarity.ivf_duckdb_sql(k=8, iters=2, probes=4))
 def sim_ivf_multiprobe(spark, sf_dir):
     """IVF multi-probe (VERDICT r4 item 4): same deterministic coarse
-    quantizer, but scan the 3 cells nearest the query (rounded squared-L2
+    quantizer, but scan the 4 cells nearest the query (rounded squared-L2
     centroid ranking, ties -> lowest cid) instead of 1 — recovers
-    neighbors that fell across a cell boundary at ~3/8 of the table scan,
-    still partition-prunable on the cell column. The DuckDB twin ranks the
-    identical final centroids and probes the identical cells."""
+    neighbors that fell across a cell boundary at ~4/8 of the table scan
+    (the full 4x-single-cell probe budget), still partition-prunable on
+    the cell column. The DuckDB twin ranks the identical final centroids
+    and probes the identical cells."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, k=10, n_cells=8, iters=2, query_id=0,
-                               probes=3)
+                               probes=4)
 
 
 @q("sim_lsh_bucket_topk", "§sim-lsh,J2,F10", similarity.lsh_duckdb_sql(planes=6))
