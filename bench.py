@@ -160,38 +160,70 @@ def main() -> None:
         "timing": f"min of {len(pass_steals)} passes per query",
     }
 
-    # ANN quality evidence: recall@10 of the IVF-pruned search against the
-    # exact brute-force top-10 (the trade IVF makes at scale is cells
-    # scanned vs recall — report it, don't assume it)
+    # ANN quality evidence: recall@10 of each pruned search against the
+    # exact brute-force top-10, averaged over N_Q query vectors (the trade
+    # every ANN method makes at scale is fraction-scanned vs recall —
+    # report it, don't assume it). Single-query recall@10 carries ~0.15
+    # binomial noise: the r4 artifact reported query_id=0 alone, which
+    # reads 0.5 on the same config whose 40-query mean is 0.77. Scan
+    # budgets per method are unchanged — only the estimator widened.
+    from pyspark.sql import functions as F
+
+    from skipmap_processor_spark.operators import similarity as _sim
+
+    N_Q = 10
     try:
-        brute = {r["vec_id"] for r in QUERIES["sim_topk_cosine"](spark, sf_dir).collect()}
-        ivf = {r["vec_id"] for r in QUERIES["sim_ivf_topk"](spark, sf_dir).collect()}
-        ivf_recall_at_10 = round(len(brute & ivf) / max(len(brute), 1), 3)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qvs = {int(r["vec_id"]): list(r["embedding"])
+               for r in emb.filter(F.col("vec_id") < N_Q).collect()}
+        _dim = len(next(iter(qvs.values())))
+        lsh_idx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".data", "lsh_index",
+                               f"{os.path.basename(sf_dir.rstrip('/'))}_p8")
+        if not os.path.exists(os.path.join(lsh_idx, "_SUCCESS")):
+            _sim.build_lsh_index(emb, dim=_dim, out_dir=lsh_idx, planes=8)
+        brute_by_q = {
+            qid: {r["vec_id"]
+                  for r in _sim.cosine_topk(emb, qv, k=10).collect()}
+            for qid, qv in sorted(qvs.items())}
     except Exception as e:
-        errors["ivf_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
-        ivf_recall_at_10 = None
-    try:
-        ivf_mp = {r["vec_id"] for r in
-                  QUERIES["sim_ivf_multiprobe"](spark, sf_dir).collect()}
-        ivf_multiprobe_recall_at_10 = round(
-            len(brute & ivf_mp) / max(len(brute), 1), 3)
-    except Exception as e:
-        errors["ivf_multiprobe_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
-        ivf_multiprobe_recall_at_10 = None
-    try:
-        mp = {r["vec_id"] for r in
-              QUERIES["sim_lsh_multiprobe_topk"](spark, sf_dir).collect()}
-        lsh_recall_at_10 = round(len(brute & mp) / max(len(brute), 1), 3)
-    except Exception as e:
-        errors["lsh_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
-        lsh_recall_at_10 = None
-    try:
-        mg = {r["vec_id"] for r in
-              QUERIES["sim_lsh_margin_topk"](spark, sf_dir).collect()}
-        margin_recall_at_10 = round(len(brute & mg) / max(len(brute), 1), 3)
-    except Exception as e:
-        errors["margin_recall_at_10"] = f"{type(e).__name__}: {e}"[:300]
-        margin_recall_at_10 = None
+        errors["ann_recall_setup"] = f"{type(e).__name__}: {e}"[:300]
+        qvs, brute_by_q = {}, {}
+
+    def _mean_recall(name: str, fn):
+        """Mean recall@10 of ``fn(qid, qv) -> DataFrame`` over the query
+        set; same scan budget per query as the registered CORRECTNESS
+        entry of the same method."""
+        if not qvs:
+            return None
+        try:
+            recs = []
+            for qid, qv in sorted(qvs.items()):
+                got = {r["vec_id"] for r in fn(qid, qv).collect()}
+                recs.append(len(brute_by_q[qid] & got)
+                            / max(len(brute_by_q[qid]), 1))
+            return round(sum(recs) / len(recs), 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return None
+
+    ivf_recall_at_10 = _mean_recall(
+        "ivf_recall_at_10",
+        lambda qid, qv: _sim.ivf_topk(emb, k=10, n_cells=8, iters=2,
+                                      query_id=qid))
+    ivf_multiprobe_recall_at_10 = _mean_recall(
+        "ivf_multiprobe_recall_at_10",
+        lambda qid, qv: _sim.ivf_topk(emb, k=10, n_cells=8, iters=2,
+                                      query_id=qid, probes=4))
+    lsh_recall_at_10 = _mean_recall(
+        "lsh_recall_at_10",
+        lambda qid, qv: _sim.lsh_indexed_topk(spark, lsh_idx, qv, k=10,
+                                              planes=8, hamming=2))
+    margin_recall_at_10 = _mean_recall(
+        "margin_recall_at_10",
+        lambda qid, qv: _sim.lsh_indexed_topk(spark, lsh_idx, qv, k=10,
+                                              planes=8, hamming=2,
+                                              budget=16))
 
     # CDC replay headline: both merge modes — MOR is the write-heavy scale
     # path, CoW the read-optimal. Each replay runs in its OWN subprocess JVM
@@ -336,6 +368,7 @@ def main() -> None:
         "unit": "sec",
         "queries": qsecs,
         "errors": errors,
+        "recall_queries_averaged": N_Q,
         "ivf_recall_at_10": ivf_recall_at_10,
         "ivf_multiprobe_recall_at_10": ivf_multiprobe_recall_at_10,
         "lsh_recall_at_10": lsh_recall_at_10,
