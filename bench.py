@@ -240,14 +240,32 @@ def main() -> None:
     # CDC number taken in a 5%-steal window — a phantom 1.85x regression
     # its same-code clean run contradicted). The official artifact must be
     # clean on its face: keep the lowest-steal attempt, ledger the rejects.
+    #
+    # Steal alone is NOT sufficient for the CDC phases: a 0.2%-steal window
+    # was measured running the same MOR replay at 1966 ev/proc-cpu-s vs
+    # 7487 clean minutes later (co-tenant memory-bandwidth bursts stretch
+    # delivered cycles without registering as steal —
+    # BENCH/host_bandwidth_swings.json). Phases that report their own
+    # per-event proc-CPU efficiency therefore also carry a clean-history
+    # floor, the same per-leg discipline as the paired scaling campaign.
     MAX_ATTEMPTS = 3
 
-    def gated_phase(name: str, fn):
+    def gated_phase(name: str, fn, min_ev_per_pcpu: float | None = None):
         """Run ``fn`` (returns a parsed result dict) up to MAX_ATTEMPTS
-        times; stop at the first attempt whose in-run steal < STEAL_BAR,
-        else keep the quietest. All attempts are ledgered."""
+        times; stop at the first attempt whose in-run steal < STEAL_BAR
+        AND (when the phase reports events_per_proc_cpu_sec and a floor is
+        set) whose per-event proc-CPU efficiency clears the clean-history
+        floor. Else keep the most efficient steal-clean attempt, else the
+        quietest. All attempts are ledgered."""
         attempts: list[dict] = []
         best: tuple[dict, dict] | None = None
+
+        def _score(rec: dict) -> tuple:
+            # steal-clean first, then highest efficiency, then low steal
+            clean = rec["in_run_steal_frac"] < STEAL_BAR
+            return (clean, rec.get("ev_per_pcpu") or 0.0,
+                    -rec["in_run_steal_frac"])
+
         for _ in range(MAX_ATTEMPTS):
             pre = wait_quiet() if wait_quiet else None
             t0 = time.time()
@@ -261,14 +279,22 @@ def main() -> None:
                 "in_run_steal_frac": round(
                     (s1_st - s0_st) / max(s1_tot - s0_tot, 1), 4),
             }
+            eff = (result or {}).get("events_per_proc_cpu_sec") \
+                if isinstance(result, dict) else None
+            if eff is not None:
+                rec["ev_per_pcpu"] = eff
+                if min_ev_per_pcpu is not None:
+                    rec["ev_per_pcpu_floor"] = min_ev_per_pcpu
             attempts.append(rec)
-            if best is None or (rec["in_run_steal_frac"]
-                                < best[1]["in_run_steal_frac"]):
+            if best is None or _score(rec) > _score(best[1]):
                 best = (result, rec)
-            if rec["in_run_steal_frac"] < STEAL_BAR:
+            steal_ok = rec["in_run_steal_frac"] < STEAL_BAR
+            eff_ok = (min_ev_per_pcpu is None or eff is None
+                      or eff >= min_ev_per_pcpu)
+            if steal_ok and eff_ok:
                 break
             if _budget_left() <= 0:  # no retry past the global deadline —
-                break  # keep the quietest attempt, annotated
+                break  # keep the best attempt, annotated
         led = dict(best[1])
         led["attempts"] = len(attempts)
         rejected = [a for a in attempts if a is not best[1]]
@@ -298,14 +324,25 @@ def main() -> None:
             "--sha", "arrow", "--warmup-epochs", "1",
         ], timeout=1800)
 
+    # clean-history floors at (1M events, 4 epochs, local[32]): measured
+    # clean MOR 7487 / CoW 5323 ev/proc-cpu-s (2026-08-18, quiet window,
+    # steal 0.0/0.2%); floors at ~0.55x clean reject the documented
+    # bandwidth-burst windows (1966/1063 observed) without flapping on
+    # ordinary scheduling variance.
+    # floors are calibrated to THIS config only — a different --cpus would
+    # silently mis-gate (the r4 ADVICE paired_scaling floor lesson)
+    _mor_floor = 4000.0 if cpus == 32 else None
+    _cow_floor = 2800.0 if cpus == 32 else None
     try:
-        cdc = gated_phase("cdc_mor", lambda: cdc_sub("mor"))
+        cdc = gated_phase("cdc_mor", lambda: cdc_sub("mor"),
+                          min_ev_per_pcpu=_mor_floor)
         qsecs["cdc_replay_1m_events_mor"] = cdc["wall_sec"]
     except Exception as e:
         errors["cdc_replay_1m_events_mor"] = f"{type(e).__name__}: {e}"[:300]
         cdc = None
     try:
-        cdc_cow = gated_phase("cdc_cow", lambda: cdc_sub("cow"))
+        cdc_cow = gated_phase("cdc_cow", lambda: cdc_sub("cow"),
+                              min_ev_per_pcpu=_cow_floor)
         qsecs["cdc_replay_1m_events_cow"] = cdc_cow["wall_sec"]
     except Exception as e:
         errors["cdc_replay_1m_events_cow"] = f"{type(e).__name__}: {e}"[:300]

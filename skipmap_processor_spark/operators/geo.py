@@ -1,0 +1,307 @@
+"""Geometry operators re-expressed Spark-first, no geospatial libraries.
+
+These cover the reference's geometry slice that previous rounds scoped out
+(SURVEY §2: F9 points-along-line, W4 arc merge, A8 dissolve) in the forms
+the sandbox can verify end-to-end: pure-math column expressions and
+set-based graph aggregation, each with a DuckDB-expressible twin.
+
+- ``points_along_line`` — F9 (/root/reference/src/transforms/
+  GeoTransforms.ts:137-202): points every ``interval_km`` along a
+  linestring, start point always, end point always, positions deduplicated.
+  Distance is the haversine great-circle length of each segment (turf
+  ``length``); the emitted point at distance d lerps linearly in lon/lat
+  within the containing segment (a planar approximation of turf ``along``
+  — the engine's documented semantics, identical in the oracle).
+  Everything is JVM column math: window lead/cumsum + ``sequence`` +
+  ``explode`` — no UDFs, whole-stage codegen end to end.
+
+- ``merge_overlapping_arcs`` — W4 (/root/reference/src/transforms/
+  normalization/MergeOverlappingRuns.ts:25-164): arcs referenced by >= 2
+  runs get merged properties; the direction reduce (two oneway=true runs
+  traversing opposite ways -> oneway=false; any declared false -> false;
+  any true -> true; else null) is reformulated order-independently so a
+  single groupBy computes it exactly.
+
+- ``dissolve_boxes`` — A8 (/root/reference/src/clustering/database/
+  PostgreSQLClusteringDatabase.ts:684-702): ST_Union-style dissolve of
+  overlapping geometries into connected blobs. 2-D polygon union needs a
+  geometry kernel the sandbox lacks; the engine ships the dissolve
+  *algorithm* at full fidelity over axis-aligned integer boxes: a
+  grid-bucketed overlap join (never all-pairs — the same blocking
+  discipline as the radius theta-join J2) feeding distributed connected
+  components, then one per-component envelope aggregation. Swapping the
+  overlap predicate + envelope reduce for ST_Intersects + ST_Union turns
+  it into the PostGIS operator unchanged.
+
+Scale notes (100 TB): points_along_line shuffles once per window key
+(line_id) and emits via sequence/explode map-side; arc merge is one
+groupBy(arc) with partial aggregation; dissolve's candidate edges come
+from a grid-cell equi-join whose fan-out is bounded by box extent / cell
+size, and components use pointer-jumping (O(log L) rounds) above a
+driver union-find fast path for small edge sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km between two lon/lat column pairs.
+
+    Written with the exact operation sequence the DuckDB oracle uses
+    (radians -> sin/cos -> asin) so both engines evaluate the same IEEE
+    double expression tree.
+    """
+    dlat_h = (F.radians(lat2) - F.radians(lat1)) / F.lit(2.0)
+    dlon_h = (F.radians(lon2) - F.radians(lon1)) / F.lit(2.0)
+    a = (
+        F.sin(dlat_h) * F.sin(dlat_h)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon_h) * F.sin(dlon_h)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def points_along_line(points: DataFrame, interval_km: float,
+                      line_col: str = "line_id", idx_col: str = "idx",
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      round_dp: int = 6) -> DataFrame:
+    """F9: for each line (rows = ordered vertices), emit the start point,
+    a point every ``interval_km`` of cumulative haversine length, and the
+    end point, deduplicated on rounded position.
+
+    Returns (line_col, lon, lat) distinct, coordinates rounded to
+    ``round_dp`` so cross-engine value hashes are ulp-insensitive.
+    """
+    lid, lon, lat = F.col(line_col), F.col(lon_col), F.col(lat_col)
+    w = Window.partitionBy(line_col).orderBy(idx_col)
+
+    segs = (
+        points.select(line_col, idx_col, lon_col, lat_col)
+        .withColumn("lon2", F.lead(lon_col).over(w))
+        .withColumn("lat2", F.lead(lat_col).over(w))
+        .filter(F.col("lon2").isNotNull())
+        # zero-length segments contribute nothing to arc length and can
+        # never contain an interval point (cum_start == cum_end)
+        .filter((lon != F.col("lon2")) | (lat != F.col("lat2")))
+        .withColumn("seg_len",
+                    haversine_km(lon, lat, F.col("lon2"), F.col("lat2")))
+    )
+    wcum = (
+        Window.partitionBy(line_col).orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    segs = segs.withColumn(
+        "cum_start", F.coalesce(F.sum("seg_len").over(wcum), F.lit(0.0))
+    ).withColumn("cum_end", F.col("cum_start") + F.col("seg_len"))
+
+    iv = F.lit(float(interval_km))
+    # k-th interval point (distance k*interval) lives in this segment iff
+    # cum_start <= k*interval < cum_end and k >= 1 — the reference's
+    # `while (distance < lineLength)` loop, segment-localised so each
+    # segment emits its own points map-side (no second pass over the line)
+    k_lo = F.greatest(F.lit(1).cast("long"),
+                      F.ceil(F.col("cum_start") / iv))
+    k_hi = F.ceil(F.col("cum_end") / iv) - F.lit(1).cast("long")
+    interior = (
+        segs.withColumn("k", F.explode(
+            F.when(k_hi >= k_lo, F.sequence(k_lo, k_hi))
+            .otherwise(F.array().cast("array<bigint>"))))
+        .withColumn("t", (F.col("k") * iv - F.col("cum_start"))
+                    / F.col("seg_len"))
+        .select(
+            lid,
+            (lon + F.col("t") * (F.col("lon2") - lon)).alias("plon"),
+            (lat + F.col("t") * (F.col("lat2") - lat)).alias("plat"),
+        )
+    )
+
+    wfull = Window.partitionBy(line_col).orderBy(idx_col)
+    ends = (
+        points.select(line_col, idx_col, lon_col, lat_col)
+        .withColumn("_rn", F.row_number().over(wfull))
+        .withColumn(
+            "_rn_last",
+            F.row_number().over(
+                Window.partitionBy(line_col).orderBy(F.col(idx_col).desc())),
+        )
+        .filter((F.col("_rn") == 1) | (F.col("_rn_last") == 1))
+        .select(lid, lon.alias("plon"), lat.alias("plat"))
+    )
+
+    out = ends.unionByName(interior)
+    return (
+        out.select(
+            line_col,
+            F.round("plon", round_dp).alias("lon"),
+            F.round("plat", round_dp).alias("lat"),
+        )
+        .distinct()
+    )
+
+
+def merge_overlapping_arcs(runs: DataFrame, arc_col: str = "arc_id",
+                           reversed_col: str = "is_reversed",
+                           oneway_col: str = "oneway",
+                           name_col: str = "name",
+                           value_col: str | None = "value") -> DataFrame:
+    """W4: per-arc merge of the runs referencing it.
+
+    oneway reduce, order-independent restatement of the reference's fold
+    (MergeOverlappingRuns.ts:121-151): any declared false -> false; two
+    oneway=true traversals in opposite directions -> false; any true ->
+    true; else null. Properties merge: sorted-distinct names joined with
+    ", " (mergedProperties' list union) and max of the numeric property.
+    """
+    ow, rev = F.col(oneway_col), F.col(reversed_col)
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        (F.sum(F.when(~ow, 1).otherwise(0)) > 0).alias("_any_false"),
+        (F.sum(F.when(ow & ~rev, 1).otherwise(0)) > 0).alias("_fwd"),
+        (F.sum(F.when(ow & rev, 1).otherwise(0)) > 0).alias("_rev"),
+        F.array_join(F.array_sort(F.collect_set(name_col)), ", ")
+        .alias("names"),
+    ]
+    if value_col is not None:
+        agg.append(F.round(F.max(value_col), 4).alias("max_value"))
+    merged = runs.groupBy(arc_col).agg(*agg)
+    oneway_merged = (
+        F.when(F.col("_any_false") | (F.col("_fwd") & F.col("_rev")),
+               F.lit(False))
+        .when(F.col("_fwd") | F.col("_rev"), F.lit(True))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    keep = [arc_col, "n_runs", oneway_merged.alias("oneway_merged"), "names"]
+    if value_col is not None:
+        keep.append("max_value")
+    return merged.select(*keep)
+
+
+def _components_long(edges: DataFrame, vertices: DataFrame,
+                     max_iters: int = 16,
+                     max_edges_on_driver: int = 200_000) -> DataFrame:
+    """Connected components over bigint vertex ids -> (id, comp) where
+    comp is the minimum reachable id. Hybrid: driver union-find under the
+    edge threshold (microseconds, saves ~8 jobs), pointer-jumping
+    min-label propagation above it (O(log diameter) rounds) — the same
+    discipline as operators/dedup.rename_components, specialised to long
+    ids so labels dereference without string packing.
+
+    ``edges`` needs columns (a, b); ``vertices`` column (id) — isolated
+    vertices keep their own id as component.
+    """
+    spark = edges.sparkSession
+    small = edges.select("a", "b").limit(max_edges_on_driver + 1).collect()
+    if len(small) <= max_edges_on_driver:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in small:
+            a, b = int(r["a"]), int(r["b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(v, find(v)) for v in parent]
+        labelled = spark.createDataFrame(rows, "id bigint, comp bigint") \
+            if rows else spark.createDataFrame([], "id bigint, comp bigint")
+        return (
+            vertices.join(labelled, "id", "left")
+            .select("id", F.coalesce("comp", "id").alias("comp"))
+        )
+
+    both = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = vertices.select("id", F.col("id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            both.join(labels.select(F.col("id").alias("b"),
+                                    F.col("comp").alias("nc")), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("nc").alias("nc"))
+        )
+        stepped = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nc", "comp")).alias("comp"),
+            F.col("comp").alias("_start"),
+        )
+        jumped = (
+            stepped.alias("s")
+            .join(stepped.select(F.col("id").alias("comp"),
+                                 F.col("comp").alias("cc")).alias("p"),
+                  "comp", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("cc", "comp"))
+                .alias("comp"),
+                "_start",
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = jumped.filter(F.col("comp") != F.col("_start")).count()
+        labels = jumped.select("id", "comp")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dissolve_boxes(boxes: DataFrame, cell_size: int = 20,
+                   id_col: str = "id") -> DataFrame:
+    """A8: dissolve overlapping axis-aligned boxes into connected blobs.
+
+    ``boxes`` columns: (id bigint, x1, y1, x2, y2) integer coordinates,
+    x1 <= x2, y1 <= y2, closed-interval overlap. Candidate pairs come from
+    a grid-cell equi-join (each box replicated to the ceil(extent/cell)^2
+    cells its envelope touches — bounded fan-out, never all-pairs), exact
+    overlap re-checked on candidates, components via _components_long,
+    then one envelope aggregation per component:
+    (comp, n_boxes, x1, y1, x2, y2) with comp = min member id.
+    """
+    cs = F.lit(int(cell_size))
+    cells = boxes.withColumn(
+        "cell",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.floor(F.col("x1") / cs), F.floor(F.col("x2") / cs)),
+            lambda cx: F.transform(
+                F.sequence(F.floor(F.col("y1") / cs),
+                           F.floor(F.col("y2") / cs)),
+                lambda cy: cx * F.lit(1_000_003) + cy,
+            ),
+        ))),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            (F.col("a.x1") <= F.col("b.x2")) & (F.col("b.x1") <= F.col("a.x2"))
+            & (F.col("a.y1") <= F.col("b.y2"))
+            & (F.col("b.y1") <= F.col("a.y2"))
+        )
+        .select(F.col(f"a.{id_col}").alias("a"),
+                F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+    comps = _components_long(
+        pairs, boxes.select(F.col(id_col).alias("id"))
+    ).withColumnRenamed("id", "_cid")
+    return (
+        boxes.join(comps, F.col(id_col) == F.col("_cid"))
+        .groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_boxes"),
+            F.min("x1").alias("x1"), F.min("y1").alias("y1"),
+            F.max("x2").alias("x2"), F.max("y2").alias("y2"),
+        )
+    )

@@ -1290,3 +1290,203 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.select(
         "a_id", "b_id", cos.alias("cosine")
     ).filter(F.col("cosine") >= 0.999)
+
+
+# ---------------------------------------------------------------------------
+# Geometry slice (SURVEY §2: F9, W4, A8) — previously scoped out; now
+# implemented pure-math / set-based (operators/geo.py). Each query derives a
+# deterministic synthetic geometry table from `events` with integer-exact
+# arithmetic so the DuckDB twin computes byte-identical inputs.
+# ---------------------------------------------------------------------------
+
+_GEO_HAV = """2*6371.0088*ASIN(SQRT(
+      SIN((RADIANS(lat2)-RADIANS(lat))/2.0)*SIN((RADIANS(lat2)-RADIANS(lat))/2.0)
+      + COS(RADIANS(lat))*COS(RADIANS(lat2))
+        *SIN((RADIANS(lon2)-RADIANS(lon))/2.0)*SIN((RADIANS(lon2)-RADIANS(lon))/2.0)))"""
+
+
+@q(
+    "f9_points_along_line",
+    "F9,P5,W2",
+    f"""
+    WITH pts0 AS (
+      SELECT event_id % 40 AS line_id, event_id AS idx,
+             (event_id % 360) - 180 + (event_id % 7) / 10.0   AS lon,
+             ((event_id * 3) % 150) - 75 + (event_id % 11) / 10.0 AS lat,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 40
+                                ORDER BY event_id) AS rn
+      FROM events
+    ),
+    pts AS (SELECT * FROM pts0 WHERE rn <= 12),
+    segs0 AS (
+      SELECT line_id, idx, lon, lat,
+             LEAD(lon) OVER w AS lon2, LEAD(lat) OVER w AS lat2
+      FROM pts WINDOW w AS (PARTITION BY line_id ORDER BY idx)
+    ),
+    segs1 AS (
+      SELECT *, {_GEO_HAV} AS seg_len
+      FROM segs0
+      WHERE lon2 IS NOT NULL AND (lon <> lon2 OR lat <> lat2)
+    ),
+    segs2 AS (
+      SELECT *,
+             COALESCE(SUM(seg_len) OVER (PARTITION BY line_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS cum_start
+      FROM segs1
+    ),
+    segs3 AS (
+      SELECT *,
+             GREATEST(CAST(1 AS BIGINT),
+                      CAST(CEIL(cum_start/750.0) AS BIGINT))         AS k_lo,
+             CAST(CEIL((cum_start+seg_len)/750.0) AS BIGINT) - 1     AS k_hi
+      FROM segs2
+    ),
+    interior0 AS (
+      SELECT line_id, lon, lat, lon2, lat2, cum_start, seg_len,
+             UNNEST(generate_series(k_lo, k_hi)) AS k
+      FROM segs3 WHERE k_hi >= k_lo
+    ),
+    interior AS (
+      SELECT line_id,
+             lon + ((k*750.0 - cum_start)/seg_len) * (lon2-lon) AS plon,
+             lat + ((k*750.0 - cum_start)/seg_len) * (lat2-lat) AS plat
+      FROM interior0
+    ),
+    ends AS (
+      SELECT line_id, lon AS plon, lat AS plat FROM (
+        SELECT line_id, lon, lat,
+               ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY idx)      AS rf,
+               ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY idx DESC) AS rl
+        FROM pts) t
+      WHERE rf = 1 OR rl = 1
+    )
+    SELECT DISTINCT line_id, ROUND(plon, 6) AS lon, ROUND(plat, 6) AS lat
+    FROM (SELECT * FROM ends UNION ALL SELECT * FROM interior) u
+    """,
+)
+def f9_points_along_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (GeoTransforms.ts:137-202): points every 750 km along synthetic
+    linestrings derived from events; see operators/geo.points_along_line."""
+    from skipmap_processor_spark.operators import geo
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    pts = e.select(
+        (eid % 40).alias("line_id"),
+        eid.alias("idx"),
+        ((eid % 360) - 180 + (eid % 7) / F.lit(10.0)).alias("lon"),
+        (((eid * 3) % 150) - 75 + (eid % 11) / F.lit(10.0)).alias("lat"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("line_id").orderBy("idx")),
+    ).filter(F.col("rn") <= 12).drop("rn")
+    return geo.points_along_line(pts, interval_km=750.0)
+
+
+@q(
+    "w4_arc_merge",
+    "W4,A2,A3",
+    """
+    WITH runs AS (
+      SELECT event_id % 300 AS arc_id,
+             ((event_id // 300) % 2) = 1 AS is_reversed,
+             CASE WHEN event_id % 5 = 0 THEN TRUE
+                  WHEN event_id % 5 = 1 THEN FALSE
+                  ELSE NULL END AS oneway,
+             'run-' || CAST(event_id % 13 AS VARCHAR) AS name,
+             value
+      FROM events
+    )
+    SELECT arc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CASE WHEN SUM(CASE WHEN oneway = FALSE THEN 1 ELSE 0 END) > 0
+                  OR (SUM(CASE WHEN oneway AND NOT is_reversed
+                               THEN 1 ELSE 0 END) > 0
+                      AND SUM(CASE WHEN oneway AND is_reversed
+                                   THEN 1 ELSE 0 END) > 0)
+                THEN 'false'
+                WHEN SUM(CASE WHEN oneway THEN 1 ELSE 0 END) > 0 THEN 'true'
+                ELSE 'unknown' END AS oneway_merged,
+           STRING_AGG(DISTINCT name, ', ' ORDER BY name) AS names,
+           ROUND(MAX(value), 4) AS max_value
+    FROM runs GROUP BY arc_id
+    """,
+)
+def w4_arc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (MergeOverlappingRuns.ts:25-164): per-arc property merge with the
+    order-independent oneway reduce; see operators/geo.merge_overlapping_arcs."""
+    from skipmap_processor_spark.operators import geo
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    runs = e.select(
+        (eid % 300).alias("arc_id"),
+        ((F.expr("event_id div 300") % 2) == 1).alias("is_reversed"),
+        F.when(eid % 5 == 0, F.lit(True))
+        .when(eid % 5 == 1, F.lit(False))
+        .otherwise(F.lit(None).cast("boolean")).alias("oneway"),
+        F.concat(F.lit("run-"), (eid % 13).cast("string")).alias("name"),
+        "value",
+    )
+    merged = geo.merge_overlapping_arcs(runs)
+    # nullable booleans canonicalize differently across engines (None vs
+    # NaN); the registered surface stringifies the tri-state
+    return merged.withColumn(
+        "oneway_merged",
+        F.coalesce(F.col("oneway_merged").cast("string"), F.lit("unknown")),
+    )
+
+
+@q(
+    "a8_dissolve_boxes",
+    "A8,J2,W5",
+    """
+    WITH RECURSIVE boxes AS (
+      SELECT event_id AS id,
+             (event_id % 500) % 25 * 20 + event_id % 16            AS x1,
+             (event_id % 500) // 25 * 20 + event_id % 13           AS y1,
+             (event_id % 500) % 25 * 20 + event_id % 16
+               + 2 + event_id % 5                                  AS x2,
+             (event_id % 500) // 25 * 20 + event_id % 13
+               + 2 + event_id % 7                                  AS y2
+      FROM events WHERE event_id % 10 < 3
+    ),
+    edges AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM boxes a JOIN boxes b
+        ON a.x1 <= b.x2 AND b.x1 <= a.x2
+       AND a.y1 <= b.y2 AND b.y1 <= a.y2 AND a.id <> b.id
+    ),
+    reach(id, root) AS (
+      SELECT id, id FROM boxes
+      UNION
+      SELECT e.ib, r.root FROM reach r JOIN edges e ON e.ia = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS comp FROM reach GROUP BY id)
+    SELECT c.comp AS comp, CAST(COUNT(*) AS BIGINT) AS n_boxes,
+           MIN(b.x1) AS x1, MIN(b.y1) AS y1,
+           MAX(b.x2) AS x2, MAX(b.y2) AS y2
+    FROM boxes b JOIN comp c ON b.id = c.id
+    GROUP BY c.comp
+    """,
+)
+def a8_dissolve_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (PostgreSQLClusteringDatabase.ts:684-702): dissolve overlapping
+    boxes into connected blobs — grid-bucketed overlap join + distributed
+    connected components; see operators/geo.dissolve_boxes."""
+    from skipmap_processor_spark.operators import geo
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    cell = eid % 500
+    x1 = (cell % 25) * 20 + eid % 16
+    y1 = F.expr("(event_id % 500) div 25") * 20 + eid % 13
+    boxes = e.filter(eid % 10 < 3).select(
+        eid.alias("id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + 2 + eid % 5).alias("x2"),
+        (y1 + 2 + eid % 7).alias("y2"),
+    )
+    return geo.dissolve_boxes(boxes, cell_size=20)
