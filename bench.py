@@ -250,13 +250,15 @@ def main() -> None:
     # floor, the same per-leg discipline as the paired scaling campaign.
     MAX_ATTEMPTS = 3
 
-    def gated_phase(name: str, fn, min_ev_per_pcpu: float | None = None):
-        """Run ``fn`` (returns a parsed result dict) up to MAX_ATTEMPTS
+    def gated_phase(name: str, fn, min_ev_per_pcpu: float | None = None,
+                    max_attempts: int | None = None):
+        """Run ``fn`` (returns a parsed result dict) up to max_attempts
         times; stop at the first attempt whose in-run steal < STEAL_BAR
         AND (when the phase reports events_per_proc_cpu_sec and a floor is
         set) whose per-event proc-CPU efficiency clears the clean-history
         floor. Else keep the most efficient steal-clean attempt, else the
         quietest. All attempts are ledgered."""
+        max_attempts = max_attempts or MAX_ATTEMPTS
         attempts: list[dict] = []
         best: tuple[dict, dict] | None = None
 
@@ -266,7 +268,7 @@ def main() -> None:
             return (clean, rec.get("ev_per_pcpu") or 0.0,
                     -rec["in_run_steal_frac"])
 
-        for _ in range(MAX_ATTEMPTS):
+        for _ in range(max_attempts):
             pre = wait_quiet() if wait_quiet else None
             t0 = time.time()
             s0_tot, s0_st = _steal_snap()
@@ -326,23 +328,26 @@ def main() -> None:
 
     # clean-history floors at (1M events, 4 epochs, local[32]): measured
     # clean MOR 7487 / CoW 5323 ev/proc-cpu-s (2026-08-18, quiet window,
-    # steal 0.0/0.2%); floors at ~0.55x clean reject the documented
-    # bandwidth-burst windows (1966/1063 observed) without flapping on
-    # ordinary scheduling variance.
+    # steal 0.0/0.2%). Floors at ~0.85x clean: the host alternates
+    # full-speed and bandwidth-degraded phases on a minutes scale (a
+    # 0.03%-steal window was measured at 1863 ev/pcpu, 4x off clean), so
+    # the CDC phases retry until they catch a full-speed window (more
+    # attempts than other phases; each ~1 min). Past the wall budget the
+    # best attempt is kept, annotated.
     # floors are calibrated to THIS config only — a different --cpus would
     # silently mis-gate (the r4 ADVICE paired_scaling floor lesson)
-    _mor_floor = 4000.0 if cpus == 32 else None
-    _cow_floor = 2800.0 if cpus == 32 else None
+    _mor_floor = 6400.0 if cpus == 32 else None
+    _cow_floor = 4500.0 if cpus == 32 else None
     try:
         cdc = gated_phase("cdc_mor", lambda: cdc_sub("mor"),
-                          min_ev_per_pcpu=_mor_floor)
+                          min_ev_per_pcpu=_mor_floor, max_attempts=6)
         qsecs["cdc_replay_1m_events_mor"] = cdc["wall_sec"]
     except Exception as e:
         errors["cdc_replay_1m_events_mor"] = f"{type(e).__name__}: {e}"[:300]
         cdc = None
     try:
         cdc_cow = gated_phase("cdc_cow", lambda: cdc_sub("cow"),
-                              min_ev_per_pcpu=_cow_floor)
+                              min_ev_per_pcpu=_cow_floor, max_attempts=6)
         qsecs["cdc_replay_1m_events_cow"] = cdc_cow["wall_sec"]
     except Exception as e:
         errors["cdc_replay_1m_events_cow"] = f"{type(e).__name__}: {e}"[:300]

@@ -307,6 +307,9 @@ def write_point_tiles(df: DataFrame, zoom: int, layer: str = "features",
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         x, y = int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        # deterministic feature order -> byte-stable tiles (incremental
+        # re-encodes must reproduce a full build exactly)
+        pdf = pdf.sort_values(["px", "py", *props], kind="stable")
         feats = [
             {
                 "geom_type": 1,
@@ -323,3 +326,62 @@ def write_point_tiles(df: DataFrame, zoom: int, layer: str = "features",
 
     return staged.groupBy("x", "y").applyInPandas(
         _encode, "z int, x int, y int, tile binary, n_features long")
+
+
+# --- incremental re-tiling ---------------------------------------------------
+
+
+def changed_tile_keys(changes: DataFrame, zoom: int,
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      extent: int = DEFAULT_EXTENT) -> list[tuple[int, int]]:
+    """Distinct (x, y) tile keys touched by a change-feed frame
+    (``changefeed.table_changes`` output carrying lon/lat payload columns):
+    a moved feature dirties BOTH its pre-image and post-image tile, an
+    insert/delete dirties one. The distinct list is bounded by the number
+    of changed rows (<< tile count), so the driver-side collect is the
+    same bounded pattern as LakeTable.lookup's bucket list."""
+    tx, ty, _px, _py = tile_coords_expr(F.col(lon_col), F.col(lat_col),
+                                        zoom, extent)
+    rows = (
+        changes.filter(F.col(lon_col).isNotNull()
+                       & (F.col(lat_col) > -85.05112878)
+                       & (F.col(lat_col) < 85.05112878))
+        .select(tx.alias("x"), ty.alias("y"))
+        .distinct()
+        .collect()
+    )
+    return sorted((r["x"], r["y"]) for r in rows)
+
+
+def retile(points: DataFrame, zoom: int,
+           changed: list[tuple[int, int]] | None = None,
+           layer: str = "features", lon_col: str = "lon",
+           lat_col: str = "lat", prop_cols: list[str] | None = None,
+           extent: int = DEFAULT_EXTENT) -> DataFrame:
+    """Re-encode tiles from the CURRENT point set — only the ``changed``
+    tile keys when given (incremental maintenance: changefeed ->
+    changed_tile_keys -> retile), every tile when None (full build).
+
+    The reference regenerates the whole tileset through tippecanoe on
+    every run (TilesGenerator.ts:8-60); here a trickle of changes
+    re-encodes O(changed tiles), not O(all tiles). The tile-key filter is
+    applied BEFORE the shuffle, so when ``points`` is stored partitioned/
+    bucketed by tile key the scan prunes to the changed tiles; deleted-to-
+    empty tiles simply emit no row (consumers drop the key, mirroring the
+    lake's tombstone contract)."""
+    if changed is None:
+        return write_point_tiles(points, zoom, layer=layer, lon_col=lon_col,
+                                 lat_col=lat_col, prop_cols=prop_cols,
+                                 extent=extent)
+    if not changed:
+        return write_point_tiles(points, zoom, layer=layer, lon_col=lon_col,
+                                 lat_col=lat_col, prop_cols=prop_cols,
+                                 extent=extent).limit(0)
+    tx, ty, _px, _py = tile_coords_expr(F.col(lon_col), F.col(lat_col),
+                                        zoom, extent)
+    key = tx.cast("bigint") * F.lit(1 << 32) + ty.cast("bigint")
+    wanted = [int(x) * (1 << 32) + int(y) for x, y in changed]
+    pruned = points.filter(key.isin(wanted))
+    return write_point_tiles(pruned, zoom, layer=layer, lon_col=lon_col,
+                             lat_col=lat_col, prop_cols=prop_cols,
+                             extent=extent)
