@@ -1442,15 +1442,19 @@ def w4_arc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a8_dissolve_boxes",
     "A8,J2,W5",
     """
-    WITH RECURSIVE boxes AS (
-      SELECT event_id AS id,
-             (event_id % 500) % 25 * 20 + event_id % 16            AS x1,
-             (event_id % 500) // 25 * 20 + event_id % 13           AS y1,
-             (event_id % 500) % 25 * 20 + event_id % 16
-               + 2 + event_id % 5                                  AS x2,
-             (event_id % 500) // 25 * 20 + event_id % 13
-               + 2 + event_id % 7                                  AS y2
+    WITH RECURSIVE nc AS (
+      SELECT GREATEST(CAST(1 AS BIGINT), COUNT(*) // 6) AS n
       FROM events WHERE event_id % 10 < 3
+    ),
+    boxes AS (
+      SELECT event_id AS id,
+             (event_id % n) % 1024 * 20 + event_id % 16            AS x1,
+             (event_id % n) // 1024 * 20 + event_id % 13           AS y1,
+             (event_id % n) % 1024 * 20 + event_id % 16
+               + 2 + event_id % 5                                  AS x2,
+             (event_id % n) // 1024 * 20 + event_id % 13
+               + 2 + event_id % 7                                  AS y2
+      FROM events, nc WHERE event_id % 10 < 3
     ),
     edges AS (
       SELECT a.id AS ia, b.id AS ib
@@ -1474,15 +1478,21 @@ def w4_arc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a8_dissolve_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (PostgreSQLClusteringDatabase.ts:684-702): dissolve overlapping
     boxes into connected blobs — grid-bucketed overlap join + distributed
-    connected components; see operators/geo.dissolve_boxes."""
+    connected components; see operators/geo.dissolve_boxes.
+
+    The synthetic box field scales its cell grid with the row count so
+    per-cell density (and so component size and candidate-pair fan-out)
+    stays CONSTANT as sf grows — cost linear in rows, the shape the
+    operator must have at 100 TB."""
     from skipmap_processor_spark.operators import geo
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 < 3)
+    n = max(1, e.count() // 6)  # deterministic: row count of the filter
     eid = F.col("event_id")
-    cell = eid % 500
-    x1 = (cell % 25) * 20 + eid % 16
-    y1 = F.expr("(event_id % 500) div 25") * 20 + eid % 13
-    boxes = e.filter(eid % 10 < 3).select(
+    cell = eid % n
+    x1 = (cell % 1024) * 20 + eid % 16
+    y1 = F.expr(f"(event_id % {n}) div 1024") * 20 + eid % 13
+    boxes = e.select(
         eid.alias("id"),
         x1.alias("x1"),
         y1.alias("y1"),
