@@ -1500,3 +1500,82 @@ def a8_dissolve_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (y1 + 2 + eid % 7).alias("y2"),
     )
     return geo.dissolve_boxes(boxes, cell_size=20)
+
+
+@q(
+    "s14_mvt_point_tiles",
+    "S14,P1,A7",
+    """
+    WITH pts AS (
+      SELECT ((event_id % 320) - 160 + (event_id % 7) / 10.0) AS lon,
+             ((event_id % 140) - 70 + (event_id % 11) / 10.0) AS lat
+      FROM events WHERE event_id % 5 = 0
+    ),
+    tiled AS (
+      SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS INT)       AS x,
+             CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat))
+                  + 1.0/COS(RADIANS(lat))) / PI()) / 2.0 * 64.0)
+                  AS INT)                                            AS y
+      FROM pts WHERE lat > -85.05112878 AND lat < 85.05112878
+    )
+    SELECT 6 AS z, x, y, CAST(COUNT(*) AS BIGINT) AS n_features
+    FROM tiled GROUP BY x, y
+    """,
+)
+def s14_mvt_point_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 (TilesGenerator.ts:8-60): the MVT sink's tile assignment +
+    per-tile grouping under the oracle gate — (z,x,y,n_features) from the
+    REAL sink path (sinks/mvt.write_point_tiles, applyInPandas encode);
+    tile bytes themselves are covered by the round-trip decoder tests."""
+    from skipmap_processor_spark.sinks import mvt
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid = F.col("event_id")
+    pts = e.select(
+        ((eid % 320) - 160 + (eid % 7) / F.lit(10.0)).alias("lon"),
+        ((eid % 140) - 70 + (eid % 11) / F.lit(10.0)).alias("lat"),
+    )
+    return mvt.write_point_tiles(pts, zoom=6).select(
+        "z", "x", "y", "n_features")
+
+
+@q(
+    "s15_pnts_tiles",
+    "S15,P1,A7",
+    """
+    WITH pts AS (
+      SELECT ((event_id % 320) - 160 + (event_id % 7) / 10.0) AS lon,
+             ((event_id % 140) - 70 + (event_id % 11) / 10.0) AS lat,
+             (event_id % 900) / 1.0 AS elev
+      FROM events
+    )
+    SELECT CAST(FLOOR(lon / 5.0) AS INT) AS tx,
+           CAST(FLOOR(lat / 5.0) AS INT) AS ty,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(MIN(lon), 6) AS min_lon, ROUND(MIN(lat), 6) AS min_lat,
+           ROUND(MAX(lon), 6) AS max_lon, ROUND(MAX(lat), 6) AS max_lat
+    FROM pts GROUP BY tx, ty
+    """,
+)
+def s15_pnts_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 (Tiles3DGenerator.ts:84): the 3D-tiles sink's cell assignment,
+    counts and bounding volumes under the oracle gate — from the REAL
+    sink path (sinks/tiles3d.write_pnts_tiles); .pnts bytes covered by
+    the round-trip tests."""
+    from skipmap_processor_spark.sinks import tiles3d
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    pts = e.select(
+        ((eid % 320) - 160 + (eid % 7) / F.lit(10.0)).alias("lon"),
+        ((eid % 140) - 70 + (eid % 11) / F.lit(10.0)).alias("lat"),
+        ((eid % 900) / F.lit(1.0)).alias("elev"),
+    )
+    t = tiles3d.write_pnts_tiles(pts, cell_deg=5.0, elev_col="elev")
+    return t.select(
+        "tx", "ty", "n_points",
+        F.round("min_lon", 6).alias("min_lon"),
+        F.round("min_lat", 6).alias("min_lat"),
+        F.round("max_lon", 6).alias("max_lon"),
+        F.round("max_lat", 6).alias("max_lat"),
+    )

@@ -31,9 +31,16 @@ PNTS_VERSION = 1
 _DEG_M = 111_319.490793  # meters per degree at the equator
 
 
-def encode_pnts(positions: list[tuple[float, float, float]]) -> bytes:
-    """Encode one .pnts tile: header + featureTableJSON + float32 buffer."""
-    n = len(positions)
+def encode_pnts(positions) -> bytes:
+    """Encode one .pnts tile: header + featureTableJSON + float32 buffer.
+
+    ``positions``: list of (x, y, z) or an (n, 3) numpy array — the array
+    path serializes the whole position buffer with one vectorized
+    ``tobytes`` (the sink encodes millions of points per tile group)."""
+    import numpy as np
+
+    arr = np.asarray(positions, dtype="<f4").reshape(-1, 3)
+    n = arr.shape[0]
     ft_json = json.dumps({
         "POINTS_LENGTH": n,
         "POSITION": {"byteOffset": 0},
@@ -41,7 +48,7 @@ def encode_pnts(positions: list[tuple[float, float, float]]) -> bytes:
     # feature table JSON must end on an 8-byte boundary (spec 10.2)
     pad = (8 - (28 + len(ft_json)) % 8) % 8
     ft_json += b" " * pad
-    body = b"".join(struct.pack("<3f", *p) for p in positions)
+    body = arr.tobytes()
     pad2 = (8 - len(body) % 8) % 8
     body += b"\x00" * pad2
     total = 28 + len(ft_json) + len(body)
@@ -80,13 +87,17 @@ def write_pnts_tiles(df: DataFrame, cell_deg: float = 1.0,
     )
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
-        # tile-local planar frame anchored at the cell origin
+        # tile-local planar frame anchored at the cell origin; fully
+        # vectorized — one numpy expression per axis, no per-point loop
         ox, oy = tx * cell_deg, ty * cell_deg
-        pos = [
-            ((lo - ox) * _DEG_M, (la - oy) * _DEG_M, el)
-            for lo, la, el in zip(pdf["_lon"], pdf["_lat"], pdf["_elev"])
-        ]
+        pos = np.column_stack([
+            (pdf["_lon"].to_numpy() - ox) * _DEG_M,
+            (pdf["_lat"].to_numpy() - oy) * _DEG_M,
+            pdf["_elev"].to_numpy(),
+        ])
         return pd.DataFrame([{
             "tx": tx, "ty": ty, "n_points": len(pos),
             "min_lon": float(pdf["_lon"].min()),
