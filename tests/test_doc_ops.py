@@ -207,6 +207,37 @@ def test_ivf_multiprobe_dominates_single_probe(spark):
         [(r["vec_id"], r["cosine"]) for r in brute]
 
 
+def test_ivf_indexed_topk_matches_coupled(spark, tmp_path):
+    """The persisted-index query path (build_ivf_index + ivf_indexed_topk)
+    returns byte-identical results to the coupled ivf_topk at the same
+    training parameters, for single- and multi-probe — the index only
+    removes the per-query full-table assignment scan, never changes the
+    cells or the ranking."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], 0) for i in range(80)]
+    df = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int")
+    idx = str(tmp_path / "ivf_idx")
+    cents = similarity.build_ivf_index(df, idx, n_cells=4, iters=2,
+                                       train_limit=30)
+    assert [(cid, [float(x) for x in c]) for cid, c in cents] == \
+        [(cid, [float(x) for x in c])
+         for cid, c in similarity.load_ivf_centroids(idx)]
+    for probes in (1, 3):
+        coupled = similarity.ivf_topk(df, k=5, n_cells=4, iters=2,
+                                      query_id=0, train_limit=30,
+                                      probes=probes).collect()
+        indexed = similarity.ivf_indexed_topk(
+            spark, idx, vecs[0][1], k=5, probes=probes).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in indexed] == \
+            [(r["vec_id"], r["cosine"]) for r in coupled]
+    # rebuild with different geometry is not served from the stale cache
+    similarity.build_ivf_index(df, idx, n_cells=2, iters=1, train_limit=30)
+    assert len(similarity.load_ivf_centroids(idx)) <= 2
+
+
 def test_ivf_probe_cells_ranking():
     """Probe ranking: rounded squared L2 ascending, ties -> lowest cid."""
     import numpy as np
