@@ -45,7 +45,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skipmap_processor_spark.lake import KEY_COLS, LakeTable, bucket_expr
+from skipmap_processor_spark.lake import (KEY_COLS, _REPO_PRUNE_CAP,
+                                           _prune_by_stats, LakeTable,
+                                           bucket_expr)
 
 # commit kinds that can add/remove live rows; manifests written before
 # commit-kind tagging carry no marker and are treated as merges (safe:
@@ -211,12 +213,18 @@ def table_changes(lake: LakeTable, from_version: int,
     # ContextCleaner when the feed DataFrame goes out of scope.
     cand_df = lake._read_files(mani_to, cand).localCheckpoint(eager=True)
     keys = cand_df.select(*KEY_COLS).distinct()
-    # bucket list is bounded by num_buckets — a driver-side collect of at
-    # most nb small ints, same pattern as LakeTable.lookup
-    buckets = sorted(
-        r["_b"]
-        for r in keys.select(bucket_expr(nb).alias("_b")).distinct().collect()
-    )
+    # one driver-side collect over the (checkpointed, delta-sized)
+    # candidate keys covers both prunes: bucket ids (bounded by
+    # num_buckets) and — when the touched-repo set is small, the
+    # steady-state trickle case — the distinct repos, so the historical
+    # base scan also skips files whose footer repo range holds none of
+    # the changed repos (same pattern as LakeTable.lookup)
+    pairs = (keys.select(bucket_expr(nb).alias("_b"), "repo")
+             .distinct().collect())
+    buckets = sorted({r["_b"] for r in pairs})
+    cand_repos = sorted({r["repo"] for r in pairs})
+    if len(cand_repos) > _REPO_PRUNE_CAP:
+        cand_repos = None
     # ONE historical scan builds BOTH images: files_at_to is files_at_from
     # plus the added (candidate) files, minus compact replacements — and
     # compact commits are logical no-ops for the live view, so
@@ -231,12 +239,17 @@ def table_changes(lake: LakeTable, from_version: int,
     # key set in the steady-state small-delta case, so the fold shuffles
     # O(candidate rows), never O(affected-bucket rows).
     mani_from = _manifest_or_expired(lake, from_version)
+    # buckets were computed under mani_to's spec; mani_from may predate a
+    # rescale — buckets_nb maps the prune exactly across specs. The repo
+    # range prune below the bucket prune is sound for the LWW fold: a
+    # candidate key's every version carries that key's repo, so a file
+    # whose footer repo range excludes all candidate repos holds no
+    # version of any candidate key.
+    base_files = lake.file_entries(mani_from, buckets=buckets, buckets_nb=nb)
+    if cand_repos is not None:
+        base_files, _ = _prune_by_stats(base_files, "repo", cand_repos)
     base = (
-        # buckets were computed under mani_to's spec; mani_from may predate a
-        # rescale — buckets_nb maps the prune exactly across specs
-        lake._read_files(mani_to,
-                         lake.file_entries(mani_from, buckets=buckets,
-                                           buckets_nb=nb))
+        lake._read_files(mani_to, base_files)
         .join(keys, KEY_COLS, "inner")
         .localCheckpoint(eager=True)
     )

@@ -101,7 +101,32 @@ def _spec_prune(file_nb: int, req_nb: int, bset: set[int]) -> set[int] | None:
     return None
 
 
-_STATS_COLS = ("commit", "_epoch")
+_STATS_COLS = ("commit", "_epoch", "repo")
+
+# lookup()/feed pruning collects distinct repos driver-side; beyond this
+# many the O(files x repos) interval test stops paying for itself and the
+# collect itself is the cost — skip the prune (stay correct, unpruned).
+_REPO_PRUNE_CAP = 1024
+
+
+def _prune_by_stats(files: list[dict], col: str,
+                    wanted: list[str]) -> tuple[list[dict], int]:
+    """(files that may hold a row whose ``col`` is in ``wanted``,
+    n_skipped) — key-range data skipping on the footer min/max stats
+    (the Iceberg manifest upper/lower-bounds analog). A file is skipped
+    only when its recorded [min, max] contains NONE of the wanted values;
+    stat-less files (legacy, stats disabled) are always kept. Sound under
+    parquet binary-stat truncation too: a truncated min is a prefix
+    (<= true min) and a truncated max is incremented (>= true max), so
+    the recorded interval only ever widens."""
+    kept, skipped = [], 0
+    for fe in files:
+        st = fe.get("stats", {}).get(col)
+        if st is not None and not any(st[0] <= w <= st[1] for w in wanted):
+            skipped += 1
+        else:
+            kept.append(fe)
+    return kept, skipped
 
 
 def _footer_stats(md) -> dict:
@@ -633,10 +658,27 @@ class LakeTable:
         include_deleted: bool = False,
         with_engine_cols: bool = False,
         version: int | None = None,
+        repos: list[str] | None = None,
     ) -> DataFrame:
+        """Current table state, optionally scoped.
+
+        ``repos`` is the repo-scoped read ("current state of repo X" — the
+        reference's per-repository fetch,
+        /root/reference/src/utils/PostgresCache.ts:209-317). Bucketing
+        hashes the FULL key (repo, path), so a repo's rows spread across
+        every bucket and bucket pruning cannot help; instead files are
+        pruned by their footer repo min/max range (files are written
+        key-sorted within partitions, so ranges are tight) and the exact
+        ``repo IN (...)`` filter runs below the LWW window — repo is part
+        of the key, so the filter is key-determined and the fold stays
+        complete per key."""
         mani = self.manifest(version)
         files = self.file_entries(mani, buckets=buckets)
+        if repos is not None:
+            files, _ = _prune_by_stats(files, "repo", sorted(set(repos)))
         df = self._read_files(mani, files)
+        if repos is not None:
+            df = df.filter(F.col("repo").isin([str(r) for r in repos]))
         if buckets is not None:
             nb = int(mani["num_buckets"])
             if any(int(fe["nb"]) != nb for fe in files):
@@ -680,12 +722,19 @@ class LakeTable:
         mani = self.manifest()
         nb = int(mani["num_buckets"])
         keys = keys_df.select(*KEY_COLS).distinct()
-        buckets = sorted(
-            r["_b"]
-            for r in keys.select(bucket_expr(nb).alias("_b")).distinct().collect()
-        )
+        # one driver-side collect covers both prunes: bucket ids (bounded by
+        # num_buckets) and, when the key set is small enough, the distinct
+        # repos for footer-range file skipping WITHIN the selected buckets
+        # (MOR delta files each hold one epoch's keys — most contain none of
+        # the looked-up repos and are skipped without being opened).
+        pairs = (keys.select(bucket_expr(nb).alias("_b"), "repo")
+                 .distinct().collect())
+        buckets = sorted({r["_b"] for r in pairs})
+        repos = sorted({r["repo"] for r in pairs})
+        if len(repos) > _REPO_PRUNE_CAP:
+            repos = None
         df = self.read(buckets=buckets, include_deleted=include_deleted,
-                       with_engine_cols=True)
+                       with_engine_cols=True, repos=repos)
         return df.join(F.broadcast(keys), KEY_COLS, "left_semi")
 
     def files_since(self, commit_floor: str,

@@ -96,3 +96,77 @@ def test_read_since_after_compact_still_exact(spark, warehouse):
     assert skipped == 0
     keep, _ = t.files_since(c(99))
     assert not keep
+
+
+# --------------------------------------------------- repo key-range skipping
+
+def _build_repo_spread(spark, path, mode="mor", epochs=6):
+    """Each epoch touches exactly one repo, so every MOR delta file's
+    footer repo range is a single repo — maximally skippable."""
+    t = LakeTable.create(spark, path, num_buckets=4, merge_mode=mode)
+    for e in range(epochs):
+        rows = [(f"repo{e:02d}", f"f{i:02d}.py", c(e + 1), i, "upsert",
+                 "go", f"v{e}", "s") for i in range(8)]
+        t.merge_batch(_mk_actions(spark, rows), epoch=e)
+    return t
+
+
+def test_repo_scoped_read_prunes_and_matches(spark, warehouse):
+    from skipmap_processor_spark.lake import _prune_by_stats
+
+    t = _build_repo_spread(spark, os.path.join(warehouse, "t"))
+    full = t.read()
+    for repo in ("repo02", "repo05"):
+        want = sorted(tuple(r) for r in
+                      full.filter(F.col("repo") == repo).collect())
+        got = sorted(tuple(r) for r in t.read(repos=[repo]).collect())
+        assert got == want and got, repo
+        kept, skipped = _prune_by_stats(t.file_entries(), "repo", [repo])
+        # only the one epoch's delta files survive the prune
+        assert skipped > 0
+        assert all(fe["stats"]["repo"][0] <= repo <= fe["stats"]["repo"][1]
+                   for fe in kept)
+    # repo outside every file's range: all files skipped, empty result
+    kept, skipped = _prune_by_stats(t.file_entries(), "repo", ["zzz"])
+    assert not kept and skipped == len(t.file_entries())
+    assert t.read(repos=["zzz"]).count() == 0
+
+
+def test_repo_scoped_read_lww_across_pruned_files(spark, warehouse):
+    # repo02 written in epoch 2 AND re-written in a later epoch: the prune
+    # must keep BOTH files so the LWW fold sees both versions
+    t = _build_repo_spread(spark, os.path.join(warehouse, "t"))
+    rows = [("repo02", f"f{i:02d}.py", c(9), i, "upsert", "go", "v9", "s")
+            for i in range(4)]
+    t.merge_batch(_mk_actions(spark, rows), epoch=9)
+    got = {(r["path"], r["content"]) for r in
+           t.read(repos=["repo02"]).collect()}
+    want = {(f"f{i:02d}.py", "v9" if i < 4 else "v2") for i in range(8)}
+    assert got == want
+
+
+def test_lookup_repo_pruned_equality_both_modes(spark, warehouse):
+    for mode in ("mor", "cow"):
+        t = _build_repo_spread(spark, os.path.join(warehouse, mode),
+                               mode=mode)
+        keys = t.spark.createDataFrame(
+            [("repo03", "f01.py"), ("repo03", "f05.py"),
+             ("repo00", "f02.py"), ("nope", "f00.py")],
+            "repo string, path string")
+        got = sorted(tuple(r) for r in t.lookup(keys).collect())
+        want = sorted(
+            tuple(r) for r in t.read(include_deleted=True,
+                                     with_engine_cols=True)
+            .join(keys, ["repo", "path"], "left_semi").collect())
+        assert got == want and len(got) == 3, mode
+
+
+def test_prune_by_stats_keeps_statless_files():
+    from skipmap_processor_spark.lake import _prune_by_stats
+
+    files = [{"stats": {"repo": ["a", "c"]}},   # skippable
+             {"stats": {"repo": ["c", "m"]}},   # in range
+             {"stats": {}},                     # no repo stats: kept
+             {}]                                # legacy, no stats: kept
+    kept, skipped = _prune_by_stats(files, "repo", ["k"])
+    assert skipped == 1 and len(kept) == 3
