@@ -103,6 +103,12 @@ def _spec_prune(file_nb: int, req_nb: int, bset: set[int]) -> set[int] | None:
 
 _STATS_COLS = ("commit", "_epoch", "repo")
 
+# Iceberg's lossless type-promotion whitelist (widen_column): every pair
+# embeds the old domain exactly, so old-file casts and time travel are
+# value-preserving by construction
+_WIDENINGS = {("int", "bigint"), ("float", "double"),
+              ("smallint", "int"), ("smallint", "bigint")}
+
 # lookup()/feed pruning collects distinct repos driver-side; beyond this
 # many the O(files x repos) interval test stops paying for itself and the
 # collect itself is the cost — skip the prune (stay correct, unpruned).
@@ -641,7 +647,13 @@ class LakeTable:
                 cur = cur_by_id.get(oc["id"])
                 if cur is None:
                     continue
-                selects.append(F.col(oc["name"]).alias(cur["name"]))
+                col = F.col(oc["name"])
+                if oc.get("type") != cur.get("type"):
+                    # id-bound type promotion (widen_column): old files keep
+                    # their narrow physical type; the cast is lossless by
+                    # the _WIDENINGS whitelist enforced at mutation time
+                    col = col.cast(cur["type"])
+                selects.append(col.alias(cur["name"]))
                 present_ids.add(oc["id"])
             for c in cur_cols:  # columns added after this file was written
                 if c["id"] not in present_ids:
@@ -893,6 +905,47 @@ class LakeTable:
         self._commit_with_rebase(mutate)
         return bool(dropped)
 
+    def widen_column(self, name: str, new_type: str) -> bool:
+        """Metadata-only lossless type promotion (Iceberg evolution rules:
+        int->bigint, float->double). Existing files keep their narrow
+        physical type; _read_files casts them up through the id-based
+        rebind, and the merge paths cast incoming batches so every file's
+        physical type matches its recorded schema version. Narrowing and
+        cross-kind changes are rejected — a promotion must never lose
+        values, or time travel and the oracle replay diverge. No-op (False)
+        when the column already has ``new_type``."""
+        engine_ids = {i for i, _, _ in ENGINE_COLS}
+        widened = []
+
+        def mutate(mani: dict) -> bool:
+            widened.clear()
+            cur = self.current_schema(mani)
+            hit = [c for c in cur if c["name"] == name]
+            if not hit:
+                raise KeyError(name)
+            if hit[0]["id"] in engine_ids:
+                raise ValueError(f"cannot widen engine column {name!r}")
+            old_type = hit[0]["type"]
+            if old_type == new_type:
+                return False
+            if (old_type, new_type) not in _WIDENINGS:
+                raise ValueError(
+                    f"non-widening promotion {old_type!r} -> {new_type!r}")
+            sv = mani["schema_version"] + 1
+            cols = []
+            for c in cur:
+                c = dict(c)
+                if c["name"] == name:
+                    c["type"] = new_type
+                cols.append(c)
+            mani["schemas"][str(sv)] = cols
+            mani["schema_version"] = sv
+            widened.append(name)
+            return True
+
+        self._commit_with_rebase(mutate)
+        return bool(widened)
+
     # ------------------------------------------------------------- MERGE
 
     def parked_renames(self, mani: dict | None = None) -> list[dict]:
@@ -1102,8 +1155,11 @@ class LakeTable:
             .otherwise(F.col("_epoch"))
             .alias("_epoch"),
             *[
+                # source-side cast: incoming batches may carry a narrower
+                # pre-widening type; target side is already current-typed
+                # by _read_files' id-bound rebind
                 F.when(batch_wins & is_del, F.lit(None).cast(pay_types[c]))
-                .when(batch_wins, F.col(f"_s_{c}"))
+                .when(batch_wins, F.col(f"_s_{c}").cast(pay_types[c]))
                 .otherwise(F.col(c))
                 .alias(c)
                 for c in payload
@@ -1203,8 +1259,11 @@ class LakeTable:
             is_del.alias("is_deleted"),
             F.lit(-1 if epoch is None else epoch).cast("bigint").alias("_epoch"),
             *[
+                # cast keeps the file's physical type identical to its
+                # recorded schema version even when the incoming batch
+                # carries a pre-widening narrow type (no-op otherwise)
                 F.when(is_del, F.lit(None).cast(pay_types[c]))
-                .otherwise(F.col(c))
+                .otherwise(F.col(c).cast(pay_types[c]))
                 .alias(c)
                 for c in payload
             ],

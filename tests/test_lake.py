@@ -235,3 +235,58 @@ def test_lookup_bucket_pruned(spark, warehouse):
                                  "repo string, path string")
     got = t.lookup(keys).collect()
     assert len(got) == 1 and got[0]["content"] == "v3"
+
+
+def test_schema_evolution_widen_column(spark, warehouse):
+    """Lossless type promotion (Iceberg rules): metadata-only, old narrow
+    files cast up at read via the id-bound rebind, time travel keeps the
+    old type, narrowing/cross-kind promotions rejected."""
+    import pytest
+    from pyspark.sql import types as T
+
+    for mode in ("mor", "cow"):
+        t = LakeTable.create(spark, os.path.join(warehouse, mode),
+                             num_buckets=4, merge_mode=mode)
+        assert t.add_column("stars", "int")
+        acts = spark.createDataFrame(
+            [("r1", "a.py", c(1), 0, "upsert", "go", "v1", "s1", 7)],
+            "repo string, path string, commit string, event_seq bigint, "
+            "op string, lang string, content string, content_sha string, "
+            "stars int",
+        )
+        t.merge_batch(acts, epoch=0)
+        v_narrow = t.manifest()["version"]
+
+        assert t.widen_column("stars", "bigint")
+        assert not t.widen_column("stars", "bigint")  # idempotent
+        # old narrow file reads as the widened type, value intact
+        df = t.read()
+        assert isinstance(df.schema["stars"].dataType, T.LongType)
+        assert df.first()["stars"] == 7
+        # time travel: the pre-widening snapshot keeps the narrow type
+        old = t.read(version=v_narrow)
+        assert isinstance(old.schema["stars"].dataType, T.IntegerType)
+
+        # post-widening write with a value outside int range; a batch
+        # still carrying the narrow int type is cast up on write
+        acts2 = spark.createDataFrame(
+            [("r2", "b.py", c(2), 0, "upsert", "go", "v2", "s2",
+              2**40), ("r1", "a.py", c(2), 1, "upsert", "go", "v1b",
+                       "s1b", 9)],
+            "repo string, path string, commit string, event_seq bigint, "
+            "op string, lang string, content string, content_sha string, "
+            "stars bigint",
+        )
+        t.merge_batch(acts2, epoch=1)
+        got = {r["repo"]: r["stars"] for r in t.read().collect()}
+        assert got == {"r1": 9, "r2": 2**40}, mode
+
+        # rejected promotions
+        with pytest.raises(ValueError):
+            t.widen_column("stars", "int")          # narrowing
+        with pytest.raises(ValueError):
+            t.widen_column("lang", "bigint")        # cross-kind
+        with pytest.raises(ValueError):
+            t.widen_column("event_seq", "bigint")   # engine column
+        with pytest.raises(KeyError):
+            t.widen_column("nope", "bigint")
