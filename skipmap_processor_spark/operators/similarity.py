@@ -142,7 +142,7 @@ def _with_cell_param(df: DataFrame, vec_col: str,
     cdf = spark.createDataFrame(
         [([list(map(float, c)) for _, c in cents],
           [int(cid) for cid, _ in cents])],
-        "_cents array<array<double>>, _cids array<int>",
+        "_cents array<array<double>>, _cids array<bigint>",
     )
     dists = (f"transform(_cents, c -> round(aggregate(zip_with({vec_col}, c, "
              "(x, cv) -> (CAST(x AS DOUBLE) - cv) * (CAST(x AS DOUBLE) - cv)), "
