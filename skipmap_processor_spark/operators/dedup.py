@@ -60,9 +60,10 @@ def batch_profile(events: DataFrame, num_buckets: int) -> dict:
     time is the Amdahl term of the whole pipeline at scale — every fused job
     buys scaling efficiency.
 
-    Returns {extra_keys, has_renames, affected_buckets}.
+    Returns {extra_keys, has_renames, affected_buckets, n_malformed}.
     """
     from skipmap_processor_spark.lake import bucket_expr
+    from skipmap_processor_spark.streaming.quarantine import malformed_cond
 
     events = _with_map_extras(events)
     row = events.agg(
@@ -70,6 +71,7 @@ def batch_profile(events: DataFrame, num_buckets: int) -> dict:
             F.flatten(F.collect_set(F.map_keys("extra_cols")))
         ).alias("ek"),
         F.max((F.col("op") == "rename").cast("int")).alias("hr"),
+        F.sum(malformed_cond().cast("long")).alias("nm"),
         F.collect_set(bucket_expr(num_buckets)).alias("b1"),
         F.collect_set(
             F.when(
@@ -80,8 +82,11 @@ def batch_profile(events: DataFrame, num_buckets: int) -> dict:
                 ),
             )
         ).alias("b2"),
-        F.min(F.length("commit")).alias("min_cw"),
-        F.max(F.length("commit")).alias("max_cw"),
+        # ord probe over WELL-FORMED rows only: a malformed row (headed for
+        # quarantine) must not be able to abort the whole epoch via a
+        # garbage commit id
+        F.min(F.when(~malformed_cond(), F.length("commit"))).alias("min_cw"),
+        F.max(F.when(~malformed_cond(), F.length("commit"))).alias("max_cw"),
     ).first()
     if row["min_cw"] is not None and row["min_cw"] != row["max_cw"]:
         # LWW compares `commit` lexicographically — only a total order for
@@ -96,6 +101,7 @@ def batch_profile(events: DataFrame, num_buckets: int) -> dict:
         "extra_keys": sorted(row["ek"] or []),
         "has_renames": bool(row["hr"]),
         "affected_buckets": sorted(set(row["b1"] or []) | set(row["b2"] or [])),
+        "n_malformed": int(row["nm"] or 0),
     }
 
 

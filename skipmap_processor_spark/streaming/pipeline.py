@@ -73,6 +73,7 @@ def apply_epoch(
     ddl: pd.DataFrame | None = None,
     salt_buckets: int = 8,
     sha_impl: str = "arrow",
+    on_malformed: str = "error",
 ) -> dict:
     """Apply one epoch exactly once. Safe to call again for any applied epoch.
 
@@ -80,7 +81,17 @@ def apply_epoch(
     applied": the file stream orders files by mtime, not epoch number, so a
     late-landing epoch below the HWM is APPLIED (the ord-gated LWW merge is
     order-independent) instead of silently dropped; a replay of an applied
-    epoch is a metadata-level no-op (exactly-once)."""
+    epoch is a metadata-level no-op (exactly-once).
+
+    ``on_malformed``: policy for rows violating the event contract (null
+    key fields, unknown op, rename without target — see
+    streaming/quarantine.py). ``"error"`` fails the epoch loudly before any
+    data is staged; ``"quarantine"`` diverts them to
+    ``<table>/_quarantine/epoch=N/`` and applies the clean remainder.
+    Detection rides the existing single-pass batch aggregates — a clean
+    epoch pays no extra pass in either mode."""
+    if on_malformed not in ("error", "quarantine"):
+        raise ValueError(f"on_malformed={on_malformed!r}")
     t0 = time.monotonic()
     if lake.epoch_applied(epoch):
         return {"skipped": True, "epoch": epoch, "hwm_epoch": lake.hwm_epoch}
@@ -138,12 +149,15 @@ def apply_epoch(
         # pass, and roll back the uncommitted staging dir if violated.
         from pyspark.sql import Observation
 
+        from skipmap_processor_spark.streaming.quarantine import malformed_cond
+
         known = sorted(lake.payload_name_map())
         known_list = ", ".join(f"'{k}'" for k in known) or "''"
         obs = Observation()
         ev_obs = events.observe(
             obs,
             F.sum((F.col("op") == "rename").cast("long")).alias("n_renames"),
+            F.sum(malformed_cond().cast("long")).alias("n_malformed"),
             F.sum(
                 (
                     F.size(
@@ -159,9 +173,13 @@ def apply_epoch(
             # which is only a total order for fixed-width ids (the binlog's
             # zero-padded gseq prefix). Mixed widths (e.g. raw git hashes
             # mixed with seq ids) would silently pick wrong LWW winners —
-            # fail loudly instead (ADVICE r1).
-            F.min(F.length("commit")).alias("min_cw"),
-            F.max(F.length("commit")).alias("max_cw"),
+            # fail loudly instead (ADVICE r1). Well-formed rows only: a
+            # quarantine-bound row must not abort the epoch via a garbage
+            # commit id.
+            F.min(F.when(~malformed_cond(), F.length("commit")))
+            .alias("min_cw"),
+            F.max(F.when(~malformed_cond(), F.length("commit")))
+            .alias("max_cw"),
         )
         actions = prepare_actions_fast(ev_obs, lake, sha_impl=sha_impl)
 
@@ -174,7 +192,11 @@ def apply_epoch(
                     "lexicographically ordered; feed a fixed-width monotone "
                     "commit id (e.g. zero-padded sequence prefix)"
                 )
-            return not m["n_renames"] and not m["n_unknown_extras"]
+            # malformed rows => abort to the general path, which applies the
+            # on_malformed policy (never raise here: the staged fast-path
+            # files must roll back first)
+            return (not m["n_renames"] and not m["n_unknown_extras"]
+                    and not m["n_malformed"])
 
         stats = lake.merge_batch(
             actions, epoch, pre_partitioned=True, pre_commit_check=valid
@@ -182,10 +204,27 @@ def apply_epoch(
         if stats.get("aborted"):
             stats = None  # fall through to the general path
 
+    n_quarantined = 0
     if stats is None:
         # general path: one profile pass (extra keys, rename flag, buckets),
         # schema promotion, salted window dedup + rename resolution
         profile = batch_profile(events, int(mani["num_buckets"]))
+        if profile["n_malformed"]:
+            from skipmap_processor_spark.streaming.quarantine import (
+                malformed_cond,
+                quarantine_epoch,
+                raise_malformed,
+            )
+
+            bad = events.filter(malformed_cond())
+            if on_malformed == "error":
+                raise_malformed(lake, bad, epoch)  # before anything stages
+            n_quarantined = quarantine_epoch(lake, bad, epoch)
+            events = events.filter(~malformed_cond())
+            # re-profile the CLEAN rows: a malformed row must not promote a
+            # junk extra column or force the rename slow path (rare path —
+            # only an epoch that actually contains malformed rows pays it)
+            profile = batch_profile(events, int(mani["num_buckets"]))
         known_orig = set(lake.payload_name_map())
         for k in profile["extra_keys"]:
             if k not in known_orig:
@@ -264,6 +303,8 @@ def apply_epoch(
         )
     stats["ddl_applied"] = ddl_applied
     stats["auto_promoted"] = promoted
+    if n_quarantined:
+        stats["quarantined"] = n_quarantined
     stats["wall_sec"] = time.monotonic() - t0
     return stats
 
@@ -329,6 +370,7 @@ def replay_log(
     salt_buckets: int = 8,
     sha_impl: str = "arrow",
     max_in_flight: int = 1,
+    on_malformed: str = "error",
 ) -> list[dict]:
     """Batch-mode replay: epochs through apply_epoch.
 
@@ -352,7 +394,7 @@ def replay_log(
                 pool.submit(
                     apply_epoch, lake,
                     events.filter(F.col("epoch") == ep).drop("epoch"),
-                    int(ep), None, salt_buckets, sha_impl,
+                    int(ep), None, salt_buckets, sha_impl, on_malformed,
                 )
                 for ep in epochs
             ]
@@ -364,7 +406,8 @@ def replay_log(
     out = []
     for ep in epochs:
         batch = events.filter(F.col("epoch") == ep).drop("epoch")
-        out.append(apply_epoch(lake, batch, int(ep), ddl, salt_buckets, sha_impl))
+        out.append(apply_epoch(lake, batch, int(ep), ddl, salt_buckets,
+                               sha_impl, on_malformed))
     return out
 
 
@@ -422,6 +465,7 @@ def run_stream(
     compact_every: int = 0,
     sha_impl: str = "arrow",
     max_in_flight: int = 1,
+    on_malformed: str = "error",
 ):
     """Tail the event directory as a Structured Streaming file source.
 
@@ -476,7 +520,7 @@ def run_stream(
                     pool.submit(
                         apply_epoch, lake,
                         batch_df.filter(F.col("epoch") == ep).drop("epoch"),
-                        int(ep), None, salt_buckets, sha_impl,
+                        int(ep), None, salt_buckets, sha_impl, on_malformed,
                     )
                     for ep in epochs
                 ]
@@ -500,6 +544,7 @@ def run_stream(
                 ddl,
                 salt_buckets,
                 sha_impl,
+                on_malformed,
             )
             if (
                 compact_every > 0
