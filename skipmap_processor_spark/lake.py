@@ -101,7 +101,7 @@ def _spec_prune(file_nb: int, req_nb: int, bset: set[int]) -> set[int] | None:
     return None
 
 
-_STATS_COLS = ("commit", "_epoch", "repo")
+_STATS_COLS = ("commit", "_epoch", "repo", "path")
 
 # Iceberg's lossless type-promotion whitelist (widen_column): every pair
 # embeds the old domain exactly, so old-file casts and time travel are
@@ -671,6 +671,7 @@ class LakeTable:
         with_engine_cols: bool = False,
         version: int | None = None,
         repos: list[str] | None = None,
+        paths: list[str] | None = None,
     ) -> DataFrame:
         """Current table state, optionally scoped.
 
@@ -688,9 +689,21 @@ class LakeTable:
         files = self.file_entries(mani, buckets=buckets)
         if repos is not None:
             files, _ = _prune_by_stats(files, "repo", sorted(set(repos)))
+        if paths is not None:
+            # same soundness argument as repos: path is part of the key, so
+            # a file whose recorded [min,max] path range holds none of the
+            # wanted paths cannot hold ANY version of a wanted key — the
+            # LWW fold stays complete per key
+            files, _ = _prune_by_stats(files, "path", sorted(set(paths)))
         df = self._read_files(mani, files)
         if repos is not None:
             df = df.filter(F.col("repo").isin([str(r) for r in repos]))
+        if paths is not None:
+            # key-determined filter below the LWW window; Catalyst pushes it
+            # to the parquet scan, where the write-side key sort makes
+            # row-group min/max stats tight -> row-group pruning inside the
+            # files that survive the file-level prune
+            df = df.filter(F.col("path").isin([str(p) for p in paths]))
         if buckets is not None:
             nb = int(mani["num_buckets"])
             if any(int(fe["nb"]) != nb for fe in files):
@@ -734,19 +747,33 @@ class LakeTable:
         mani = self.manifest()
         nb = int(mani["num_buckets"])
         keys = keys_df.select(*KEY_COLS).distinct()
-        # one driver-side collect covers both prunes: bucket ids (bounded by
-        # num_buckets) and, when the key set is small enough, the distinct
-        # repos for footer-range file skipping WITHIN the selected buckets
-        # (MOR delta files each hold one epoch's keys — most contain none of
-        # the looked-up repos and are skipped without being opened).
-        pairs = (keys.select(bucket_expr(nb).alias("_b"), "repo")
-                 .distinct().collect())
-        buckets = sorted({r["_b"] for r in pairs})
-        repos = sorted({r["repo"] for r in pairs})
-        if len(repos) > _REPO_PRUNE_CAP:
-            repos = None
+        # one driver-side LIMITED collect covers all three prunes for the
+        # point-lookup case: bucket ids (bounded by num_buckets), distinct
+        # repos AND distinct paths for footer-range file skipping WITHIN the
+        # selected buckets (MOR delta files each hold one epoch's keys —
+        # most contain none of the looked-up keys and are skipped without
+        # being opened); the path list additionally pushes an IN filter to
+        # the scan, where the write-side key sort makes row-group min/max
+        # tight (row-group pruning inside surviving files). The limit keeps
+        # the collect bounded: a BULK lookup (more distinct keys than the
+        # cap) falls back to the coarser (bucket, repo) collect, where the
+        # interval test still pays but a per-path one would not.
+        trip = (keys.select(bucket_expr(nb).alias("_b"), "repo", "path")
+                .distinct().limit(_REPO_PRUNE_CAP + 1).collect())
+        if len(trip) <= _REPO_PRUNE_CAP:
+            buckets = sorted({r["_b"] for r in trip})
+            repos = sorted({r["repo"] for r in trip})
+            paths = sorted({r["path"] for r in trip})
+        else:
+            paths = None
+            pairs = (keys.select(bucket_expr(nb).alias("_b"), "repo")
+                     .distinct().collect())
+            buckets = sorted({r["_b"] for r in pairs})
+            repos = sorted({r["repo"] for r in pairs})
+            if len(repos) > _REPO_PRUNE_CAP:
+                repos = None
         df = self.read(buckets=buckets, include_deleted=include_deleted,
-                       with_engine_cols=True, repos=repos)
+                       with_engine_cols=True, repos=repos, paths=paths)
         return df.join(F.broadcast(keys), KEY_COLS, "left_semi")
 
     def files_since(self, commit_floor: str,

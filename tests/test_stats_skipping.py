@@ -170,3 +170,64 @@ def test_prune_by_stats_keeps_statless_files():
              {}]                                # legacy, no stats: kept
     kept, skipped = _prune_by_stats(files, "repo", ["k"])
     assert skipped == 1 and len(kept) == 3
+
+
+def test_path_scoped_read_prunes_and_matches(spark, warehouse):
+    from skipmap_processor_spark.lake import _prune_by_stats
+
+    t = _build(spark, os.path.join(warehouse, "tp"))
+    full = t.read()
+    for path in ("f03.py", "f11.py"):
+        want = sorted(tuple(r) for r in
+                      full.filter(F.col("path") == path).collect())
+        got = sorted(tuple(r) for r in t.read(paths=[path]).collect())
+        assert got == want and got, path
+    # f11 only exists in epoch 0's files (later epochs write f00..f10):
+    # the path range prune must skip at least those
+    kept, skipped = _prune_by_stats(t.file_entries(), "path", ["f11.py"])
+    assert skipped > 0
+    assert all(fe["stats"]["path"][0] <= "f11.py" <= fe["stats"]["path"][1]
+               for fe in kept if fe.get("stats", {}).get("path"))
+    # path outside every range: empty
+    assert t.read(paths=["zzz.py"]).count() == 0
+
+
+def test_path_scoped_read_lww_across_pruned_files(spark, warehouse):
+    # f00 is re-written in EVERY epoch: the prune must keep all its files
+    # so the LWW fold picks the newest version, not a stale one
+    t = _build(spark, os.path.join(warehouse, "tp2"))
+    got = [(r["path"], r["content"]) for r in
+           t.read(paths=["f00.py"]).collect()]
+    assert got == [("f00.py", "v5")]
+
+
+def test_lookup_path_pruned_equality_and_bulk_fallback(spark, warehouse):
+    for mode in ("mor", "cow"):
+        t = _build(spark, os.path.join(warehouse, f"lk_{mode}"), mode=mode)
+        keys = t.spark.createDataFrame(
+            [("r0", "f00.py"), ("r1", "f07.py"), ("r1", "f11.py"),
+             ("r0", "nope.py")],
+            "repo string, path string")
+        got = sorted(tuple(r) for r in t.lookup(keys).collect())
+        want = sorted(
+            tuple(r) for r in t.read(include_deleted=True,
+                                     with_engine_cols=True)
+            .join(keys, ["repo", "path"], "left_semi").collect())
+        assert got == want and len(got) == 3, mode
+
+    # bulk lookup: more distinct keys than the prune cap exercises the
+    # coarse (bucket, repo) fallback — equality must hold there too
+    from skipmap_processor_spark.lake import _REPO_PRUNE_CAP
+
+    t = _build(spark, os.path.join(warehouse, "lk_bulk"))
+    bulk = t.spark.createDataFrame(
+        [("r%d" % (i % 2), "f%02d.py" % (i % 12))
+         for i in range(12)]
+        + [("bulk", "x%05d" % i) for i in range(_REPO_PRUNE_CAP)],
+        "repo string, path string")
+    got = sorted(tuple(r) for r in t.lookup(bulk).collect())
+    want = sorted(
+        tuple(r) for r in t.read(include_deleted=True,
+                                 with_engine_cols=True)
+        .join(bulk, ["repo", "path"], "left_semi").collect())
+    assert got == want and len(got) == 12
