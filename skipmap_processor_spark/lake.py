@@ -326,22 +326,25 @@ class LakeTable:
                     continue
         return best
 
-    def _commit_with_rebase(self, mutate, max_retries: int = 20) -> dict:
+    def _commit_with_rebase(self, mutate, max_retries: int = 20,
+                            kind: str = "metadata") -> dict:
         """Optimistic-commit loop: load the latest manifest, apply ``mutate``
         (which edits the manifest in place and may raise to abort), commit;
         on CommitConflict, back off with jitter and retry on the new latest.
 
         ``mutate(mani) -> bool`` returns False to abort (commit not needed).
-        Returns the committed (or last-loaded) manifest."""
+        Returns the committed (or last-loaded) manifest.
+
+        ``kind`` defaults to ``metadata`` (DDL / bookkeeping commits never
+        add or remove data rows — the change feed skips these versions
+        during candidate-file discovery); callers whose mutate DOES land
+        data (WAP publish) pass ``merge`` so downstream feeds see it."""
         for attempt in range(max_retries):
             mani = self.manifest(self._latest_version())
             if not mutate(mani):
                 return mani
             mani["version"] = self._latest_version() + 1
-            # DDL / bookkeeping commits never add or remove data rows — the
-            # change feed (changefeed.table_changes) skips these versions
-            # during candidate-file discovery
-            mani["commit_kind"] = "metadata"
+            mani["commit_kind"] = kind
             try:
                 self._commit_manifest(mani)
                 return mani
@@ -669,11 +672,13 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         with_engine_cols: bool = False,
-        version: int | None = None,
+        version: int | str | None = None,
         repos: list[str] | None = None,
         paths: list[str] | None = None,
     ) -> DataFrame:
         """Current table state, optionally scoped.
+
+        ``version`` may be a ref name (tag) — resolved via ``resolve_ref``.
 
         ``repos`` is the repo-scoped read ("current state of repo X" — the
         reference's per-repository fetch,
@@ -685,6 +690,8 @@ class LakeTable:
         ``repo IN (...)`` filter runs below the LWW window — repo is part
         of the key, so the filter is key-determined and the fold stays
         complete per key."""
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
         mani = self.manifest(version)
         files = self.file_entries(mani, buckets=buckets)
         if repos is not None:
@@ -1598,6 +1605,182 @@ class LakeTable:
         tbl._commit_manifest(mani)
         return tbl
 
+    # ----------------------------------------------------- refs (tags) + WAP
+
+    _REF_NAME_OK = staticmethod(
+        lambda n: bool(n) and all(c.isalnum() or c in "._-" for c in n))
+
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.path, "_refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def create_tag(self, name: str, version: int | None = None) -> dict:
+        """Pin a snapshot under a name (Iceberg tag analog). Tags are
+        immutable (create-once via O_EXCL — two racing creators can't
+        disagree silently) and pin their version against ``vacuum``: the
+        tagged manifest, its shards, and its data files are retained until
+        the tag is deleted. Use cases: release snapshots ("the table as
+        trained on"), and changefeed-consumer leases — a consumer tags its
+        cursor version so catch-up can never hit VersionExpired."""
+        if not self._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name {name!r}")
+        v = self._latest_version() if version is None else int(version)
+        self.manifest(v)  # must exist now, else the pin is dead on arrival
+        ref = {"name": name, "kind": "tag", "version": v,
+               "created_unix": round(time.time(), 1)}
+        p = os.path.join(self._refs_dir(), f"{name}.json")
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise ValueError(f"ref {name!r} already exists") from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(ref, f)
+            f.flush()
+            os.fsync(f.fileno())
+        return ref
+
+    def refs(self) -> dict[str, dict]:
+        d = os.path.join(self.path, "_refs")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(d, fn)) as f:
+                        r = json.load(f)
+                    out[r["name"]] = r
+                except (OSError, ValueError, KeyError):
+                    continue  # concurrent delete / torn write: skip
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        r = self.refs().get(name)
+        if r is None:
+            raise KeyError(f"no such ref: {name!r}")
+        return int(r["version"])
+
+    def delete_ref(self, name: str) -> bool:
+        try:
+            os.remove(os.path.join(self.path, "_refs", f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def publish_from(self, branch: "LakeTable",
+                     require_base_unchanged: bool = False) -> dict:
+        """Write-audit-publish: atomically adopt a ``clone_to`` branch's
+        merge commits into this (source) table — Iceberg's WAP cherry-pick
+        re-expressed for the hash-bucket lake. Flow:
+
+            branch = main.clone_to(dev_path)        # zero-copy write stage
+            apply_epoch(branch, ...)                # write
+            assert branch.read().filter(bad).count() == 0   # audit
+            main.publish_from(branch)               # publish (one commit)
+
+        Mechanics: the branch's net-new data files (merge-commit appends,
+        discovered O(changes) via the shard ``origin`` tags) are hardlinked
+        into main and committed as ONE merge-kind shard append, so
+        downstream change feeds see the publish as a single logical commit.
+        Epoch HWM bookkeeping the branch did is replayed into main's
+        properties — a later redelivery of a published epoch to main is
+        still a no-op.
+
+        Sound for MOR branches only (enforced): MOR merge appends carry
+        exactly the write images, which commute with concurrent main
+        commits under the ord-gated LWW fold — so by default main may have
+        moved since the clone (publish rebases like any MOR writer).
+        ``require_base_unchanged=True`` gives strict WAP (abort if main
+        advanced past the clone point). CoW branch commits rewrite whole
+        buckets (carried rows are indistinguishable from changes) and are
+        rejected. Idempotent: a branch head already recorded in
+        ``properties.wap_published`` is a no-op.
+        """
+        from skipmap_processor_spark.changefeed import _added_entries
+
+        bmani = branch.manifest()
+        src = bmani["properties"].get("cloned_from")
+        if not src or os.path.abspath(src["path"]) != os.path.abspath(
+                self.path):
+            raise ValueError(
+                "publish_from requires a branch clone_to'd from this table")
+        if bmani["properties"].get("merge_mode") != "mor":
+            raise ValueError(
+                "WAP publish is MOR-only: a CoW branch commit rewrites "
+                "whole buckets, so its files mix changed and carried rows")
+        base_v = int(src["source_version"])
+        head = int(bmani["version"])
+        branch_key = os.path.abspath(branch.path)
+        if head == 0:
+            return {"published": False, "reason": "branch has no commits"}
+        entries = _added_entries(branch, 0, head)
+
+        # epochs newly applied on the branch = applied(branch) \ applied(base)
+        base_props = self.manifest(base_v)["properties"]
+        b_props = bmani["properties"]
+        new_epochs: list[int] = []
+        lo = int(base_props["hwm_epoch"]) + 1
+        hi = int(b_props["hwm_epoch"])
+        if hi - lo > 100_000:
+            raise ValueError("branch applied an implausibly wide epoch "
+                             "range; refusing to expand it")
+        for e in range(lo, hi + 1):
+            if self._epoch_applied(bmani, e):
+                new_epochs.append(e)
+        for s, en in self._missing_intervals_of(base_props):
+            for e in range(s, en + 1):
+                if self._epoch_applied(bmani, e):
+                    new_epochs.append(e)
+
+        # hardlink net-new files into main (immutable, uuid-named — same
+        # sharing contract as clone_to, safe under independent vacuums)
+        by_nb: dict[int, list[dict]] = {}
+        for fe in entries:
+            srcp = os.path.join(branch.path, fe["path"])
+            dstp = os.path.join(self.path, fe["path"])
+            os.makedirs(os.path.dirname(dstp), exist_ok=True)
+            try:
+                os.link(srcp, dstp)
+            except FileExistsError:
+                pass  # re-publish retry after a crash: same inode content
+            by_nb.setdefault(int(fe.get("nb", bmani["num_buckets"])),
+                             []).append(fe)
+        descs = [self._write_shard(fes, nb=spec)
+                 for spec, fes in sorted(by_nb.items())]
+
+        stats = {"published": True, "files": len(entries),
+                 "epochs": new_epochs, "branch_head": head}
+
+        def mutate(mani: dict) -> bool:
+            pub = mani["properties"].setdefault("wap_published", {})
+            if int(pub.get(branch_key, -1)) >= head:
+                stats.update(published=False, reason="already published")
+                return False
+            if require_base_unchanged and int(mani["version"]) != base_v:
+                raise ValueError(
+                    f"main advanced past the clone point (v{base_v} -> "
+                    f"v{mani['version']}) and strict WAP was requested")
+            mani["shards"] = mani.get("shards", []) + descs
+            for e in new_epochs:
+                if not self._epoch_applied(mani, e):
+                    self._mark_epoch_applied(mani, e)
+            pub[branch_key] = head
+            mani["properties"]["has_deltas"] = self._has_multi(mani)
+            return True
+
+        mani = self._commit_with_rebase(mutate, kind="merge")
+        if stats["published"]:
+            stats["version"] = int(mani["version"])
+            pbr: dict[int, int] = {}
+            for fe in entries:
+                b = int(fe["bucket"])
+                pbr[b] = pbr.get(b, 0) + int(fe.get("rows", 0))
+            self._append_ledger({"epoch": -1,
+                                 "version": int(mani["version"]),
+                                 "per_bucket_rows": pbr})
+        return stats
+
     def rescale_buckets(self, new_nb: int) -> dict:
         """Grow the bucket spec to ``new_nb`` (an integer multiple of the
         current one) — metadata-only, O(1) data movement.
@@ -1882,9 +2065,12 @@ class LakeTable:
         now = time.time()
         latest = self._latest_version()
         horizon = latest - max(int(keep_versions), 1) + 1
+        # ref-pinned versions (tags / consumer leases) are retained outside
+        # the horizon window — Iceberg's expire_snapshots ref protection
+        pinned = {int(r["version"]) for r in self.refs().values()}
         referenced_data: set[str] = set()
         referenced_shards: set[str] = set()
-        for v in range(max(horizon, 0), latest + 1):
+        for v in sorted(set(range(max(horizon, 0), latest + 1)) | pinned):
             try:
                 mani = self.manifest(v)
             except FileNotFoundError:
@@ -1928,7 +2114,7 @@ class LakeTable:
                     v = int(fn[1:-5])
                 except ValueError:
                     continue
-                if v < horizon and _old(fp):
+                if v < horizon and v not in pinned and _old(fp):
                     try:
                         os.remove(fp)
                         removed["manifests"] += 1
