@@ -190,6 +190,7 @@ class LakeTable:
         num_buckets: int = 32,
         merge_mode: str = "cow",
         epoch_base: int = 0,
+        max_records_per_file: int | None = None,
     ) -> "LakeTable":
         """``merge_mode``:
 
@@ -201,6 +202,14 @@ class LakeTable:
           only); readers apply a LWW window; ``compact()`` folds deltas.
           This is the high-throughput CDC path at 10^10-event scale, exactly
           Iceberg's MOR trade.
+
+        ``max_records_per_file``: hard cap on rows per written data file
+        (Spark's ``maxRecordsPerFile`` write option; Iceberg
+        ``write.target-file-size-bytes`` analog, expressed in rows because
+        the engine's skipping stats are row-ranged). At 100 TB a hot bucket's
+        epoch partition can otherwise become one multi-GB file — too large a
+        unit for CoW rewrite, task retry, and range pruning. The cap splits
+        it writer-side with no extra shuffle. None/0 disables (default).
         """
         payload_cols = payload_cols or [
             ("lang", "string"),
@@ -252,6 +261,9 @@ class LakeTable:
                 "next_field_id": 100 + len(payload_cols),
                 "merge_mode": merge_mode,
                 "has_deltas": False,
+                "max_records_per_file": (
+                    int(max_records_per_file) if max_records_per_file else 0
+                ),
             },
         }
         tbl = cls(spark, path)
@@ -282,6 +294,11 @@ class LakeTable:
         advance the _VERSION pointer monotonically. Raises CommitConflict if
         another writer claimed N first — the caller rebases and retries."""
         v = int(manifest["version"])
+        # wall-clock commit stamp (Iceberg snapshot timestamp-ms analog):
+        # the resolution target for TIMESTAMP AS OF reads (version_as_of).
+        # Re-stamped on every CAS attempt so the persisted value is the
+        # moment the winning write actually happened.
+        manifest["committed_unix"] = round(time.time(), 3)
         mpath = os.path.join(self.path, "manifests", f"v{v}.json")
         try:
             fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
@@ -675,10 +692,14 @@ class LakeTable:
         version: int | str | None = None,
         repos: list[str] | None = None,
         paths: list[str] | None = None,
+        as_of_unix: float | None = None,
     ) -> DataFrame:
         """Current table state, optionally scoped.
 
         ``version`` may be a ref name (tag) — resolved via ``resolve_ref``.
+        ``as_of_unix`` (mutually exclusive with ``version``) time-travels to
+        the snapshot current at that wall-clock instant (``TIMESTAMP AS OF``
+        — resolved via ``version_as_of``).
 
         ``repos`` is the repo-scoped read ("current state of repo X" — the
         reference's per-repository fetch,
@@ -690,6 +711,10 @@ class LakeTable:
         ``repo IN (...)`` filter runs below the LWW window — repo is part
         of the key, so the filter is key-determined and the fold stays
         complete per key."""
+        if as_of_unix is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_unix, not both")
+            version = self.version_as_of(as_of_unix)
         if isinstance(version, str):
             version = self.resolve_ref(version)
         mani = self.manifest(version)
@@ -1215,7 +1240,7 @@ class LakeTable:
         new_version = mani["version"] + 1
         out_dir = os.path.join(self.path,
                                f"data/v{new_version}-{uuid.uuid4().hex[:8]}")
-        result.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        self._data_writer(result, mani).parquet(out_dir)
 
         new_files = self._scan_written(out_dir, mani["schema_version"])
         new_desc = self._write_shard(new_files, nb=nb)
@@ -1332,7 +1357,7 @@ class LakeTable:
         out_dir = os.path.join(self.path,
                                f"data/v{new_version}-{uuid.uuid4().hex[:8]}")
         _t0 = _time.monotonic()
-        rows.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        self._data_writer(rows, mani).parquet(out_dir)
         _t1 = _time.monotonic()
 
         if pre_commit_check is not None and not pre_commit_check():
@@ -1395,6 +1420,31 @@ class LakeTable:
         self._append_ledger(stats)
         stats["t_ledger"] = round(_time.monotonic() - _t3, 3)
         return stats
+
+    def _data_writer(self, df: DataFrame, mani: dict):
+        """Bucket-partitioned parquet writer with the table's per-file row
+        cap applied (``create(max_records_per_file=...)`` /
+        ``set_max_records_per_file``). The cap is enforced inside Spark's
+        FileFormatWriter (the file rolls at N rows within each task), so it
+        composes with the write-side key sort: every rolled file keeps a
+        contiguous key range and tight footer min/max stats — more, smaller
+        skipping units instead of one multi-GB bucket file."""
+        w = df.write.partitionBy("_bucket").mode("overwrite")
+        cap = int(mani["properties"].get("max_records_per_file", 0) or 0)
+        if cap > 0:
+            w = w.option("maxRecordsPerFile", cap)
+        return w
+
+    def set_max_records_per_file(self, n: int | None) -> dict:
+        """Alter the per-file row cap (metadata-only commit). Applies to
+        future writes only; ``compact()`` re-rolls existing files under the
+        new cap."""
+
+        def mutate(mani):
+            mani["properties"]["max_records_per_file"] = int(n) if n else 0
+            return True
+
+        return self._commit_with_rebase(mutate)
 
     def _scan_written(self, out_dir: str, schema_version: int) -> list[dict]:
         from concurrent.futures import ThreadPoolExecutor
@@ -1502,6 +1552,7 @@ class LakeTable:
                 int(sd["n"]) for sd in mani.get("shards", []))
             out.append({
                 "version": v,
+                "committed_unix": mani.get("committed_unix"),
                 "commit_kind": mani.get("commit_kind", "unknown"),
                 "num_buckets": int(mani["num_buckets"]),
                 "schema_version": int(mani["schema_version"]),
@@ -1512,6 +1563,116 @@ class LakeTable:
                 "shards": len(mani.get("shards", [])),
             })
         return out
+
+    def fsck(self, check_footers: bool = False,
+             version: int | None = None) -> dict:
+        """Metadata/physical integrity check of a snapshot (Delta ``FSCK``
+        analog; the audit half of write-audit-publish). Report-only — never
+        mutates; orphan cleanup stays ``vacuum``'s job. Checks:
+
+        - every live data file exists on disk with exactly the byte size its
+          manifest entry recorded (a truncated/partially-restored file is a
+          silent row loss the reader cannot detect);
+        - every shard descriptor's ``n`` and ``bucket_counts`` match the
+          shard file it points at (descriptor-based pruning reads these
+          without loading entries — a drifted descriptor silently mis-prunes);
+        - every live file's bucket spec divides the current spec (the
+          grow-only rescale invariant cross-spec pruning depends on);
+        - every ref (tag) resolves to a retained manifest;
+        - with ``check_footers=True``: parquet footers are re-read (one
+          footer per file, parallel) and row counts compared to the entries.
+
+        Returns ``{"ok", "errors", "checked_files", "checked_shards",
+        "checked_refs"}``."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        mani = self.manifest(version)
+        nb = int(mani["num_buckets"])
+        errors: list[str] = []
+        n_files = n_shards = 0
+
+        def check_entry(fe: dict) -> None:
+            p = os.path.join(self.path, fe["path"])
+            fnb = int(fe.get("nb", nb))
+            if nb % fnb != 0:
+                errors.append(
+                    f"spec violation: {fe['path']} written under nb={fnb} "
+                    f"which does not divide current nb={nb}")
+            if not os.path.isfile(p):
+                errors.append(f"missing data file: {fe['path']}")
+                return
+            if "bytes" in fe:
+                sz = os.path.getsize(p)
+                if int(fe["bytes"]) != sz:
+                    errors.append(
+                        f"size mismatch {fe['path']}: manifest "
+                        f"{fe['bytes']} vs disk {sz}")
+
+        entries: list[dict] = []
+        for fe in mani.get("files", []):
+            fe = dict(fe)
+            fe.setdefault("nb", nb)
+            entries.append(fe)
+        for sd in mani.get("shards", []):
+            n_shards += 1
+            try:
+                shard = self._load_shard(sd["path"])
+            except (OSError, ValueError) as e:
+                errors.append(f"unreadable shard {sd['path']}: {e}")
+                continue
+            if int(sd["n"]) != len(shard):
+                errors.append(
+                    f"shard descriptor drift {sd['path']}: n={sd['n']} vs "
+                    f"{len(shard)} entries")
+            bc: dict[str, int] = {}
+            for fe in shard:
+                bc[str(int(fe["bucket"]))] = bc.get(str(int(fe["bucket"])), 0) + 1
+            if bc != {str(k): int(v) for k, v in sd["bucket_counts"].items()}:
+                errors.append(
+                    f"shard descriptor drift {sd['path']}: bucket_counts "
+                    f"disagree with entries")
+            sd_nb = int(sd.get("nb", nb))
+            for fe in shard:
+                fe = dict(fe)
+                fe.setdefault("nb", sd_nb)
+                entries.append(fe)
+        for fe in entries:
+            n_files += 1
+            check_entry(fe)
+
+        if check_footers:
+            present = [fe for fe in entries
+                       if os.path.isfile(os.path.join(self.path, fe["path"]))]
+
+            def footer_rows(fe):
+                try:
+                    md = pq.ParquetFile(
+                        os.path.join(self.path, fe["path"])).metadata
+                    return fe, md.num_rows, None
+                except Exception as e:  # corrupt footer == integrity finding
+                    return fe, -1, str(e)
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                for fe, n, err in ex.map(footer_rows, present):
+                    if err is not None:
+                        errors.append(f"unreadable parquet {fe['path']}: {err}")
+                    elif "rows" in fe and int(fe["rows"]) != n:
+                        errors.append(
+                            f"row-count mismatch {fe['path']}: manifest "
+                            f"{fe['rows']} vs footer {n}")
+
+        n_refs = 0
+        for name, ref in self.refs().items():
+            n_refs += 1
+            try:
+                self.manifest(int(ref["version"]))
+            except (FileNotFoundError, ValueError):
+                errors.append(
+                    f"dangling ref {name!r} -> v{ref.get('version')}")
+
+        return {"ok": not errors, "errors": errors,
+                "checked_files": n_files, "checked_shards": n_shards,
+                "checked_refs": n_refs}
 
     def table_stats(self, mani: dict | None = None) -> dict:
         """Size/skew profile of the live table: totals plus per-bucket rows/
@@ -1654,6 +1815,42 @@ class LakeTable:
                 except (OSError, ValueError, KeyError):
                     continue  # concurrent delete / torn write: skip
         return out
+
+    def version_as_of(self, ts_unix: float) -> int:
+        """Largest retained version committed at or before ``ts_unix`` —
+        Iceberg/Delta ``TIMESTAMP AS OF`` resolution over the manifest
+        chain's ``committed_unix`` stamps. Manifests written before stamping
+        existed fall back to the manifest file's mtime (equal on POSIX up to
+        fsync latency). Raises ``ValueError`` when ``ts_unix`` precedes every
+        retained commit (the version that was current then is vacuumed or
+        never existed — resolving to a later state would silently time-travel
+        forward)."""
+        ts = float(ts_unix)
+        best = -1
+        mdir = os.path.join(self.path, "manifests")
+        for fn in os.listdir(mdir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            try:
+                v = int(fn[1:-5])
+            except ValueError:
+                continue
+            if v <= best:
+                continue  # already have a newer qualifying version
+            try:
+                mani = self.manifest(v)
+            except (FileNotFoundError, ValueError):
+                continue  # concurrent vacuum / torn write
+            stamp = mani.get("committed_unix")
+            if stamp is None:
+                stamp = os.path.getmtime(os.path.join(mdir, fn))
+            if float(stamp) <= ts:
+                best = v
+        if best < 0:
+            raise ValueError(
+                f"no retained version committed at or before {ts_unix}"
+            )
+        return best
 
     def resolve_ref(self, name: str) -> int:
         r = self.refs().get(name)
@@ -2022,7 +2219,7 @@ class LakeTable:
         new_version = base_version + 1
         out_dir = os.path.join(
             self.path, f"data/v{new_version}-compact-{uuid.uuid4().hex[:8]}")
-        df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        self._data_writer(df, mani).parquet(out_dir)
         new_files = self._scan_written(out_dir, mani["schema_version"])
         new_desc = self._write_shard(new_files, nb=nb)
         for attempt in range(20):
