@@ -1298,6 +1298,72 @@ class LakeTable:
         self._append_ledger(stats)
         return stats
 
+    # ----------------------------------------------------- row-level DML
+
+    def delete_where(self, predicate, epoch: int | None = None) -> dict:
+        """Row-level ``DELETE FROM ... WHERE`` over the live table (Delta/
+        Iceberg row-delete analog; the GDPR-erasure shape). Matched live
+        rows become self-generated CDC delete events at ord
+        ``(commit, event_seq + 1)`` — strictly newer than each key's current
+        winner, so the ord-gated MERGE applies them exactly like feed
+        events, while any later real feed event (monotone binlog commit id)
+        still out-orders the delete. No new machinery: cost is one scan to
+        find matches plus one normal merge (MOR: append O(matches)).
+
+        ``predicate``: Column or SQL string over the live-row schema.
+        ``epoch`` threads to the exactly-once gate (None = ungated
+        maintenance op, like ``compact``). Returns merge_batch stats
+        (``rows_written`` == matched keys on the MOR path)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        actions = (
+            self.read().filter(pred)
+            .select(*KEY_COLS, "commit",
+                    (F.col("event_seq") + F.lit(1)).alias("event_seq"))
+            .withColumn("op", F.lit("delete"))
+        )
+        return self.merge_batch(actions, epoch=epoch)
+
+    def update_where(self, predicate, assignments: dict,
+                     epoch: int | None = None) -> dict:
+        """Row-level ``UPDATE ... SET ... WHERE`` (same self-event mechanism
+        as ``delete_where``; op='upsert' carrying the rewritten payload).
+
+        ``assignments``: payload column -> Column or SQL-string expression,
+        evaluated over the ORIGINAL matched row (SQL UPDATE semantics — a
+        SET reading ``content`` sees the pre-update value) and cast to the
+        column's declared type. Key and ord columns are not assignable. If
+        ``content`` is assigned and ``content_sha`` exists but is not, the
+        sha is recomputed as ``sha2(new_content, 256)`` — the per-row
+        content-sha invariant survives surface updates."""
+        mani = self.manifest()
+        payload = self.payload_columns(mani)
+        pay_types = {c["name"]: c["type"] for c in self.current_schema(mani)}
+        bad = sorted(set(assignments) - set(payload))
+        if bad:
+            raise ValueError(
+                f"cannot assign {bad}: only payload columns {payload} are "
+                f"assignable (keys and ord columns are immutable per row)")
+        sets = {
+            k: (F.expr(v) if isinstance(v, str) else v).cast(pay_types[k])
+            for k, v in assignments.items()
+        }
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cols = [F.col(c) for c in KEY_COLS]
+        cols.append(F.col("commit"))
+        cols.append((F.col("event_seq") + F.lit(1)).alias("event_seq"))
+        cols.append(F.lit("upsert").alias("op"))
+        for p in payload:
+            if p in sets:
+                cols.append(sets[p].alias(p))
+            elif (p == "content_sha" and "content" in sets
+                  and "content_sha" not in sets):
+                cols.append(
+                    F.sha2(sets["content"].cast("string"), 256).alias(p))
+            else:
+                cols.append(F.col(p))
+        actions = self.read().filter(pred).select(*cols)
+        return self.merge_batch(actions, epoch=epoch)
+
     def _merge_mor(self, actions: DataFrame, epoch: int | None, mani: dict,
                    files_per_bucket: int = 1,
                    pre_partitioned: bool = False,

@@ -140,3 +140,100 @@ def execute_merge_into(
                              "s.op = 'delete' branch")
         src = src.withColumn("op", F.lit("upsert"))
     return lake.merge_batch(src, epoch=epoch)
+
+
+# ------------------------------------------------------- row-level DML SQL
+
+_DELETE_RE = re.compile(
+    r"^DELETE FROM (?P<target>[\w.:/\-]+) WHERE (?P<where>.+)$",
+    re.IGNORECASE,
+)
+
+_UPDATE_RE = re.compile(
+    r"^UPDATE (?P<target>[\w.:/\-]+) SET (?P<sets>.+?) WHERE (?P<where>.+)$",
+    re.IGNORECASE,
+)
+
+
+def _resolve_target(target: str, tables: dict[str, LakeTable] | None):
+    lake = (tables or {}).get(target)
+    if lake is None:
+        raise ValueError(f"unknown target table {target!r}; pass it in "
+                         "`tables` (the catalog mapping)")
+    return lake
+
+
+def _split_assignments(sets: str) -> dict[str, str]:
+    """Split ``a = expr, b = expr`` on top-level commas only (commas inside
+    parens or single-quoted strings belong to the expression)."""
+    parts, depth, in_str, buf = [], 0, False, []
+    for ch in sets:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for part in parts:
+        m = re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", part, re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported SET assignment {part!r}; "
+                             "expected <column> = <expression>")
+        out[m.group(1).lower()] = m.group(2)
+    if not out:
+        raise ValueError("UPDATE requires at least one SET assignment")
+    return out
+
+
+def execute_delete_from(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LakeTable] | None = None,
+    epoch: int | None = None,
+) -> dict:
+    """``DELETE FROM <tbl> WHERE <predicate>`` -> LakeTable.delete_where.
+    The predicate is any Spark SQL boolean expression over the live-row
+    schema; matched rows are tombstoned via self-generated CDC delete
+    events (see delete_where for the ord argument)."""
+    m = _DELETE_RE.match(_norm(sql))
+    if not m:
+        raise ValueError(
+            "unsupported DELETE shape; expected: DELETE FROM <tbl> WHERE "
+            "<predicate> (an unfiltered DELETE FROM would tombstone the "
+            "whole table — say WHERE true if that is really intended)")
+    lake = _resolve_target(m.group("target"), tables)
+    return lake.delete_where(m.group("where"), epoch=epoch)
+
+
+def execute_update(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LakeTable] | None = None,
+    epoch: int | None = None,
+) -> dict:
+    """``UPDATE <tbl> SET col = expr[, ...] WHERE <predicate>`` ->
+    LakeTable.update_where (assignments evaluate over the original row;
+    key/ord columns are rejected there)."""
+    m = _UPDATE_RE.match(_norm(sql))
+    if not m:
+        raise ValueError(
+            "unsupported UPDATE shape; expected: UPDATE <tbl> SET <col> = "
+            "<expr>[, ...] WHERE <predicate> (WHERE is mandatory — say "
+            "WHERE true for a full-table update)")
+    lake = _resolve_target(m.group("target"), tables)
+    return lake.update_where(m.group("where"),
+                             _split_assignments(m.group("sets")),
+                             epoch=epoch)
