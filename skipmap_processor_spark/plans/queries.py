@@ -1603,3 +1603,100 @@ def s15_pnts_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_lon", 6).alias("max_lon"),
         F.round("max_lat", 6).alias("max_lat"),
     )
+
+
+@q(
+    "cdc_envelope_roundtrip",
+    "S1,I14,F15",
+    """
+    WITH m AS (
+        SELECT
+            CASE abs(event_id) % 10 WHEN 0 THEN 'delete' WHEN 1 THEN 'rename'
+                 WHEN 2 THEN 'insert' ELSE 'update' END          AS op,
+            'r' || CAST(user_id % 40 AS VARCHAR)                 AS repo,
+            md5(CAST(event_id AS VARCHAR))                       AS commit_id,
+            CASE WHEN abs(event_id) % 10 = 1
+                 THEN 'src/g' || CAST(event_id % 499 AS VARCHAR) || '.py'
+            END                                                  AS new_path,
+            CASE WHEN abs(event_id) % 10 IN (0, 1) THEN NULL
+                 ELSE props END                                  AS content,
+            CASE WHEN abs(event_id) % 10 IN (0, 1) THEN NULL
+                 ELSE json_extract_string(props, '$.k') END      AS k,
+            event_id * 1000 + 123                                AS ts_ms
+        FROM events)
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT)                AS n,
+           CAST(COUNT(DISTINCT repo) AS BIGINT)    AS n_repos,
+           CAST(SUM(LENGTH(content)) AS BIGINT)    AS content_len,
+           CAST(SUM(LENGTH(new_path)) AS BIGINT)   AS new_path_len,
+           MAX(commit_id)                          AS max_commit,
+           CAST(SUM(CAST(k AS BIGINT)) AS BIGINT)  AS sum_k,
+           CAST(MAX(ts_ms) AS BIGINT)              AS max_ts_ms
+    FROM m GROUP BY op
+    """,
+)
+def cdc_envelope_roundtrip(spark, sf_dir):
+    """Debezium wire-envelope adapter under the oracle gate (SURVEY §2.1 S1
+    ingestion surface): map the driver's events table onto internal CDC
+    events, serialize every row to a Debezium JSON document
+    (sources/envelopes.to_debezium), parse the documents back
+    (parse_debezium), and aggregate the PARSED rows. The DuckDB twin
+    computes the same aggregate from the direct mapping — equality proves
+    the envelope roundtrip is lossless (ops incl. key-change renames,
+    null images, extra-col maps, ms timestamps) on a dataset independent
+    of the pytest fixtures. Pure JVM to_json/from_json: one map-only pass
+    plus the aggregate's single exchange; no UDFs.
+
+    Reference parity: the reference's Postgres row adapters + ON CONFLICT
+    upsert feed (/root/reference/src/io/PostGISDataStore.ts:829-850) —
+    this is the standard-wire-format leg of that surface.
+    """
+    from skipmap_processor_spark.sources.envelopes import (
+        parse_debezium,
+        to_debezium,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = F.abs(eid) % 10
+    is_del, is_ren, is_ins = m == 0, m == 1, m == 2
+    is_data = ~((m == 0) | (m == 1))
+    internal = ev.select(
+        (eid % 5).cast("long").alias("epoch"),
+        eid.alias("event_seq"),
+        F.md5(eid.cast("string")).alias("commit"),
+        # epoch-millis-derived ts: tz-independent on both engines (the
+        # driver table's ts is TIMESTAMP_NTZ; unix_millis needs LTZ and a
+        # session-tz-dependent cast would couple the hash to the runner)
+        F.timestamp_millis(eid * 1000 + F.lit(123)).alias("ts"),
+        F.when(is_del, F.lit("delete"))
+        .when(is_ren, F.lit("rename"))
+        .when(is_ins, F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 40).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), (eid % 499).cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        F.when(
+            is_ren,
+            F.concat(F.lit("src/g"), (eid % 499).cast("string"), F.lit(".py")),
+        ).alias("new_path"),
+        F.when(is_data, F.col("event_type")).alias("lang"),
+        F.when(is_data, F.col("props")).alias("content"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.when(
+            is_data,
+            F.create_map(F.lit("k"), F.get_json_object("props", "$.k")),
+        ).alias("extra_cols"),
+    )
+    parsed = parse_debezium(to_debezium(internal))
+    return parsed.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("repo").cast("bigint").alias("n_repos"),
+        F.sum(F.length("content")).cast("bigint").alias("content_len"),
+        F.sum(F.length("new_path")).cast("bigint").alias("new_path_len"),
+        F.max("commit").alias("max_commit"),
+        F.sum(F.col("extra_cols")["k"].cast("bigint")).alias("sum_k"),
+        F.max(F.unix_millis("ts")).cast("bigint").alias("max_ts_ms"),
+    )
