@@ -263,6 +263,12 @@ def main() -> None:
     # evidence predates them). Probe floors are the 4/16-proc calibration
     # (the executor shapes here ARE 4 and 16 procs).
     ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--resume", action="store_true",
+                    help="preload prior same-sig non-calibration pairs from "
+                         "BENCH/sharded_pairs.jsonl (valid ones count toward "
+                         "--pairs; all count toward the attempted total) so "
+                         "a campaign can be EXTENDED without discarding or "
+                         "re-running its ledgered evidence")
     ap.add_argument("--max-attempts", type=int, default=24)
     ap.add_argument("--max-wall-s", type=float, default=10800)
     ap.add_argument("--quiet-threshold", type=float, default=0.02)
@@ -360,6 +366,21 @@ def main() -> None:
 
     t_start = time.time()
     valid: list[dict] = []
+    prior_attempts = 0
+    if args.resume and os.path.exists(pairs_path):
+        with open(pairs_path) as f:
+            for line in f:
+                try:
+                    p = json.loads(line)
+                except ValueError:
+                    continue
+                if p.get("sig") != sig or p.get("calibration"):
+                    continue
+                prior_attempts += 1
+                if p.get("valid"):
+                    valid.append(p)
+        print(f"# resume: {len(valid)} valid / {prior_attempts} attempted "
+              f"prior pairs preloaded for {sig}", file=sys.stderr, flush=True)
     attempt = 0
     while (len(valid) < args.pairs and attempt < args.max_attempts
            and time.time() - t_start < args.max_wall_s):
@@ -453,7 +474,8 @@ def main() -> None:
               file=sys.stderr, flush=True)
 
     if not valid:
-        print(json.dumps({"error": "no valid pairs", "attempts": attempt,
+        print(json.dumps({"error": "no valid pairs",
+                          "attempts": attempt + prior_attempts,
                           "sig": sig}))
         return
     import statistics
@@ -467,13 +489,14 @@ def main() -> None:
         "eff_wall_median": round(med_wall, 3),
         "eff_cpu_median": round(med_cpu, 3),
         "valid_pairs": len(valid),
-        "attempted": attempt,
+        "attempted": attempt + prior_attempts,
         "range": [round(min(p["eff_steady"] for p in valid), 3),
                   round(max(p["eff_steady"] for p in valid), 3)],
         "calibration": bool(args.calibrate),
     }
     if not args.calibrate:
-        _write_sharded_md(args, sig, valid, attempt, med, med_wall, med_cpu)
+        _write_sharded_md(args, sig, valid, attempt + prior_attempts,
+                          med, med_wall, med_cpu)
         summary["out"] = "BENCH/SHARDED.md"
     print(json.dumps(summary))
 

@@ -58,11 +58,13 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "debezium_doc",
     "debezium_value_schema",
     "maxwell_value_schema",
     "parse_debezium",
     "parse_maxwell",
     "to_debezium",
+    "write_envelope_log",
 ]
 
 # the row image carried in before/after (Debezium) and data/old (Maxwell):
@@ -237,17 +239,9 @@ def parse_maxwell(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def to_debezium(events: DataFrame, source_name: str = "skipmap") -> DataFrame:
-    """Internal event rows → one Debezium JSON document per row
-    (column ``value``), the inverse of :func:`parse_debezium`.
-
-    insert → ``c``; update → ``u`` (before = key-only image); delete →
-    ``d`` (before = key image, after absent); rename → key-change ``u``
-    (before = old key, after = new key; lang/content absent on both sides,
-    matching the internal contract that a rename carries no row data).
-    ``parse_debezium(to_debezium(e))`` is row-identical to ``e`` —
-    proven in tests/test_envelopes.py.
-    """
+def debezium_doc(source_name: str = "skipmap"):
+    """Column: the Debezium envelope document (pre-``to_json``) built from
+    the internal event columns of the enclosing DataFrame."""
     is_ren = F.col("op") == "rename"
     is_del = F.col("op") == "delete"
     is_ins = F.col("op") == "insert"
@@ -290,7 +284,7 @@ def to_debezium(events: DataFrame, source_name: str = "skipmap") -> DataFrame:
         .when(is_del, F.lit("d"))
         .otherwise(F.lit("u"))
     )
-    doc = F.struct(
+    return F.struct(
         before.alias("before"),
         after.alias("after"),
         F.struct(
@@ -303,4 +297,38 @@ def to_debezium(events: DataFrame, source_name: str = "skipmap") -> DataFrame:
         dbz_op.alias("op"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
-    return events.select(F.to_json(doc).alias("value"))
+
+
+def to_debezium(events: DataFrame, source_name: str = "skipmap") -> DataFrame:
+    """Internal event rows → one Debezium JSON document per row
+    (column ``value``), the inverse of :func:`parse_debezium`.
+
+    insert → ``c``; update → ``u`` (before = key-only image); delete →
+    ``d`` (before = key image, after absent); rename → key-change ``u``
+    (before = old key, after = new key; lang/content absent on both sides,
+    matching the internal contract that a rename carries no row data).
+    ``parse_debezium(to_debezium(e))`` is row-identical to ``e`` —
+    proven in tests/test_envelopes.py. (``upsert``, the bulk generator's
+    insert/update alias, serializes as ``u`` and parses back as
+    ``update`` — semantically identical under the merge.)
+    """
+    return events.select(F.to_json(debezium_doc(source_name)).alias("value"))
+
+
+def write_envelope_log(events: DataFrame, out_dir: str,
+                       source_name: str = "skipmap") -> None:
+    """Write an internal event log as ``epoch=K`` dirs of JSON-lines
+    Debezium documents — the wire-format twin of the parquet event log,
+    tailed by ``run_stream(wire_format="debezium")``. One distributed
+    write, partitioned by epoch (Maxwell has no writer: its envelope
+    carries no lineage fields, so a Maxwell log cannot round-trip)."""
+    (
+        events.select(
+            F.to_json(debezium_doc(source_name)).alias("value"),
+            F.col("epoch"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .text(out_dir)
+    )

@@ -466,6 +466,7 @@ def run_stream(
     sha_impl: str = "arrow",
     max_in_flight: int = 1,
     on_malformed: str = "error",
+    wire_format: str = "parquet",
 ):
     """Tail the event directory as a Structured Streaming file source.
 
@@ -476,7 +477,18 @@ def run_stream(
     tail falls behind and a trigger delivers several epoch files, applies
     commute — see replay_log — and overlapping them fills scheduler/barrier
     idle; requires a DDL-free log, falls back to sequential otherwise).
+
+    ``wire_format`` selects the on-disk event encoding: ``"parquet"`` (the
+    internal event schema, default) or ``"debezium"`` / ``"maxwell"`` —
+    JSON-lines text files of standard connector envelopes (one document per
+    line, same ``epoch=K`` dir layout), decoded per micro-batch by
+    ``sources.envelopes.parse_debezium/parse_maxwell`` (pure ``from_json``
+    map work; malformed documents surface as null-key rows for the
+    ``on_malformed`` policy). The epoch of record is the partition dir, not
+    the envelope's own lineage field — identical to the parquet path.
     """
+    if wire_format not in ("parquet", "debezium", "maxwell"):
+        raise ValueError(f"unknown wire_format: {wire_format!r}")
     ddl = read_ddl(events_dir)
 
     # Declare the partition column LAST. The file source appends partition
@@ -494,13 +506,47 @@ def run_stream(
         [f for f in full.fields if f.name != "epoch"]
         + [f for f in full.fields if f.name == "epoch"]
     )
-    sdf = (
-        spark.readStream.schema(stream_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
-    )
+    if wire_format == "parquet":
+        sdf = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_dir)
+        )
+        decode = None
+    else:
+        from skipmap_processor_spark.sources.envelopes import (
+            parse_debezium,
+            parse_maxwell,
+        )
+
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        # same epoch-last rationale as the parquet branch
+        sdf = (
+            spark.readStream.format("text")
+            .schema(
+                StructType(
+                    [
+                        StructField("value", StringType()),
+                        StructField("epoch", LongType()),
+                    ]
+                )
+            )
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(events_dir)
+        )
+        decode = parse_debezium if wire_format == "debezium" else parse_maxwell
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        def epoch_rows(ep):
+            rows = batch_df.filter(F.col("epoch") == ep).drop("epoch")
+            if decode is not None:
+                # the partition dir is the epoch of record; the envelope's
+                # own lineage field (source.epoch / absent in Maxwell) is
+                # advisory and dropped here
+                rows = decode(rows).drop("epoch")
+            return rows
+
         try:
             epochs = epochs_from_source_log(checkpoint_dir, int(batch_id))
         except Exception:
@@ -518,8 +564,7 @@ def run_stream(
             with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
                 futs = [
                     pool.submit(
-                        apply_epoch, lake,
-                        batch_df.filter(F.col("epoch") == ep).drop("epoch"),
+                        apply_epoch, lake, epoch_rows(ep),
                         int(ep), None, salt_buckets, sha_impl, on_malformed,
                     )
                     for ep in epochs
@@ -539,7 +584,7 @@ def run_stream(
         for ep in epochs:
             stats = apply_epoch(
                 lake,
-                batch_df.filter(F.col("epoch") == ep).drop("epoch"),
+                epoch_rows(ep),
                 int(ep),
                 ddl,
                 salt_buckets,

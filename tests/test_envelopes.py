@@ -181,6 +181,81 @@ def test_envelope_replay_matches_oracle(spark, warehouse, fixtures, merge_mode):
     assert engine["content_sha"].equals(oracle["content_sha"])
 
 
+def test_stream_tail_debezium_wire(spark, warehouse, fixtures, tmp_path):
+    """run_stream(wire_format='debezium') tails a JSON-lines envelope log
+    (epoch=K dirs of Debezium documents + the _ddl side-channel) and
+    produces the exact oracle state — the full connector-wire path:
+    text file source -> from_json decode -> LWW merge, one checkpointed
+    streaming query."""
+    from skipmap_processor_spark.sources.envelopes import write_envelope_log
+    from skipmap_processor_spark.sources.events import write_event_log
+    from skipmap_processor_spark.streaming.pipeline import run_stream
+
+    base, ev, ddl = fixtures
+    events_dir = str(tmp_path / "dbz_events")
+    write_envelope_log(_events_to_spark(spark, ev), events_dir)
+    # DDL rides its own side-channel (underscore dir: invisible to the
+    # text source); envelope docs carry only row changes, like a binlog
+    write_event_log(events_dir, ev, ddl, epochs=[])
+
+    lake = LakeTable.create(
+        spark, os.path.join(warehouse, "dbz_wire"), num_buckets=4,
+        merge_mode="mor",
+    )
+    bootstrap_base(lake, spark.createDataFrame(base, schema=base_spark_schema()))
+    q = run_stream(
+        spark, lake, events_dir, str(tmp_path / "ckpt_dbz"),
+        wire_format="debezium",
+    )
+    q.awaitTermination()
+
+    engine = (
+        lake.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    oracle = replay(base, ev, ddl)
+    cols = sorted(oracle.columns)
+    pd.testing.assert_frame_equal(engine[cols], oracle[cols], check_dtype=False)
+    assert engine["content_sha"].equals(oracle["content_sha"])
+
+
+def test_stream_tail_maxwell_wire(spark, warehouse, tmp_path):
+    """Minimal Maxwell tail: hand-written documents in epoch=K dirs apply
+    through the same streaming path (epoch of record = the dir)."""
+    from skipmap_processor_spark.streaming.pipeline import run_stream
+
+    events_dir = tmp_path / "mx_events"
+    (events_dir / "epoch=0").mkdir(parents=True)
+    (events_dir / "epoch=0" / "part-0.txt").write_text(
+        '{"database":"hub","table":"repos","type":"insert","ts":10,"xid":1,'
+        '"data":{"repo":"r1","path":"a.py","commit":"c1","lang":"python",'
+        '"content":"x","schema_ver":1}}\n'
+        '{"database":"hub","table":"repos","type":"insert","ts":11,"xid":2,'
+        '"data":{"repo":"r1","path":"b.py","commit":"c2","lang":"python",'
+        '"content":"y","schema_ver":1}}\n'
+    )
+    (events_dir / "epoch=1").mkdir()
+    (events_dir / "epoch=1" / "part-0.txt").write_text(
+        '{"database":"hub","table":"repos","type":"update","ts":12,"xid":3,'
+        '"data":{"repo":"r1","path":"b.py","commit":"c3","lang":"python",'
+        '"content":"y2","schema_ver":1},"old":{"content":"y"}}\n'
+        '{"database":"hub","table":"repos","type":"delete","ts":13,"xid":4,'
+        '"data":{"repo":"r1","path":"a.py","commit":"c4","schema_ver":1}}\n'
+    )
+    lake = LakeTable.create(
+        spark, os.path.join(warehouse, "mx_wire"), num_buckets=2,
+        merge_mode="mor",
+    )
+    q = run_stream(
+        spark, lake, str(events_dir), str(tmp_path / "ckpt_mx"),
+        wire_format="maxwell",
+    )
+    q.awaitTermination()
+    rows = {
+        (r["repo"], r["path"]): r["content"] for r in lake.read().collect()
+    }
+    assert rows == {("r1", "b.py"): "y2"}
+
+
 def test_malformed_envelopes_are_quarantine_visible(spark):
     docs = [
         "this is not json",
