@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skipmap_processor_spark.lake import (KEY_COLS, _REPO_PRUNE_CAP,
+                                           _prune_by_members,
                                            _prune_by_stats, LakeTable,
                                            bucket_expr)
 
@@ -248,6 +249,14 @@ def table_changes(lake: LakeTable, from_version: int,
     base_files = lake.file_entries(mani_from, buckets=buckets, buckets_nb=nb)
     if cand_repos is not None:
         base_files, _ = _prune_by_stats(base_files, "repo", cand_repos)
+        # order-independent second prune: a historical epoch file whose
+        # repo RANGE straddles a candidate repo (scattered-repo epochs make
+        # that the common case) but whose membership summary (exact set /
+        # bloom, recorded at commit time) proves it never wrote any
+        # candidate repo is skipped without being opened. Same LWW
+        # soundness argument as the range prune; blooms have no false
+        # negatives and summary-less files are always kept.
+        base_files, _ = _prune_by_members(base_files, "repo", cand_repos)
     base = (
         lake._read_files(mani_to, base_files)
         .join(keys, KEY_COLS, "inner")

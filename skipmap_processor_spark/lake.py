@@ -40,7 +40,9 @@ catalog (Hive/Nessie/REST) CAS; the rebase logic is identical.
 
 from __future__ import annotations
 
+import base64
 import fcntl
+import hashlib
 import json
 import os
 import random
@@ -129,6 +131,74 @@ def _prune_by_stats(files: list[dict], col: str,
     for fe in files:
         st = fe.get("stats", {}).get(col)
         if st is not None and not any(st[0] <= w <= st[1] for w in wanted):
+            skipped += 1
+        else:
+            kept.append(fe)
+    return kept, skipped
+
+
+# Per-file repo MEMBERSHIP summaries (exact set / bloom). The min/max range
+# prune above only wins when a file's repos are lexicographically contiguous;
+# a real CDC epoch touches a SCATTERED subset of repos, so one epoch holding
+# {repo_0001, repo_9998} has a range covering the whole table and the range
+# prune keeps everything. The membership summary answers "may this file hold
+# repo X at all" independent of ordering — the Delta/Iceberg bloom-index
+# idea at manifest granularity. Sound by construction: exact sets have no
+# error; blooms have no false negatives; files past the caps or written by
+# older code store nothing and are simply never skipped.
+_MEMBER_EXACT_CAP = 24        # <= this many distinct repos: store the list
+_MEMBER_MAX_DISTINCT = 2048   # beyond: membership can't prune, store nothing
+_MEMBER_BLOOM_BITS = 4096     # 512-byte bloom, ~1% fp at 500 repos (k=4)
+_MEMBER_BLOOM_K = 4
+_MEMBER_ROW_CAP = 4_000_000   # don't read the repo column back on huge files
+
+
+def _bloom_positions(value: str, m: int, k: int) -> list[int]:
+    """k bit positions for value — double hashing (Kirsch–Mitzenmacher) over
+    the two md5 halves. hashlib, not hash(): stable across processes/runs."""
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _build_members(values) -> dict | None:
+    vals = sorted({v for v in values if v is not None})
+    if not vals or len(vals) > _MEMBER_MAX_DISTINCT:
+        return None
+    if len(vals) <= _MEMBER_EXACT_CAP:
+        return {"s": vals}
+    bits = bytearray(_MEMBER_BLOOM_BITS // 8)
+    for v in vals:
+        for p in _bloom_positions(v, _MEMBER_BLOOM_BITS, _MEMBER_BLOOM_K):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"b": base64.b64encode(bytes(bits)).decode("ascii"),
+            "m": _MEMBER_BLOOM_BITS, "k": _MEMBER_BLOOM_K}
+
+
+def _members_may_contain(mem: dict, wanted: list[str]) -> bool:
+    if "s" in mem:
+        s = set(mem["s"])
+        return any(w in s for w in wanted)
+    bits = base64.b64decode(mem["b"])
+    m, k = int(mem["m"]), int(mem["k"])
+    for w in wanted:
+        if all(bits[p >> 3] & (1 << (p & 7))
+               for p in _bloom_positions(w, m, k)):
+            return True
+    return False
+
+
+def _prune_by_members(files: list[dict], col: str,
+                      wanted: list[str]) -> tuple[list[dict], int]:
+    """(files whose membership summary admits at least one wanted value,
+    n_skipped). Complements ``_prune_by_stats``: range answers "could the
+    sorted interval contain it", membership answers "was it actually
+    written". Files without a summary are always kept."""
+    kept, skipped = [], 0
+    for fe in files:
+        mem = (fe.get("members") or {}).get(col)
+        if mem is not None and not _members_may_contain(mem, wanted):
             skipped += 1
         else:
             kept.append(fe)
@@ -720,7 +790,14 @@ class LakeTable:
         mani = self.manifest(version)
         files = self.file_entries(mani, buckets=buckets)
         if repos is not None:
-            files, _ = _prune_by_stats(files, "repo", sorted(set(repos)))
+            wanted = sorted(set(repos))
+            files, _ = _prune_by_stats(files, "repo", wanted)
+            # second, order-independent prune: the range test keeps any file
+            # whose sorted interval straddles a wanted repo; the membership
+            # summary (exact set / bloom) skips the straddlers that never
+            # actually wrote it — the scattered-repo epoch case where the
+            # range prune is useless
+            files, _ = _prune_by_members(files, "repo", wanted)
         if paths is not None:
             # same soundness argument as repos: path is part of the key, so
             # a file whose recorded [min,max] path range holds none of the
@@ -1526,13 +1603,29 @@ class LakeTable:
         # footer reads in parallel: at 100+ files/epoch this is otherwise
         # ~0.5s of serial driver time (part of the Amdahl term)
         def _footer(t):
-            md = pq.ParquetFile(t[1]).metadata
-            return md.num_rows, _footer_stats(md), os.path.getsize(t[1])
+            pf = pq.ParquetFile(t[1])
+            md = pf.metadata
+            stats = _footer_stats(md)
+            members = None
+            rng = stats.get("repo")
+            if rng is not None and rng[0] == rng[1]:
+                # single-repo file (common: one-repo epochs, path-capped
+                # rolls): exact membership straight from the range, no read
+                members = _build_members([rng[0]])
+            elif md.num_rows <= _MEMBER_ROW_CAP:
+                try:
+                    import pyarrow.compute as pc
+
+                    col = pf.read(columns=["repo"]).column("repo")
+                    members = _build_members(pc.unique(col).to_pylist())
+                except Exception:  # pragma: no cover - advisory, never fatal
+                    members = None
+            return md.num_rows, stats, os.path.getsize(t[1]), members
 
         with ThreadPoolExecutor(max_workers=16) as ex:
             metas = list(ex.map(_footer, paths))
         out = []
-        for (b, fp), (n, stats, nbytes) in zip(paths, metas):
+        for (b, fp), (n, stats, nbytes, members) in zip(paths, metas):
             fe = {
                 "path": os.path.relpath(fp, self.path),
                 "bucket": b,
@@ -1542,6 +1635,8 @@ class LakeTable:
             }
             if stats:
                 fe["stats"] = stats
+            if members:
+                fe["members"] = {"repo": members}
             out.append(fe)
         return out
 

@@ -231,3 +231,107 @@ def test_lookup_path_pruned_equality_and_bulk_fallback(spark, warehouse):
                                  with_engine_cols=True)
         .join(bulk, ["repo", "path"], "left_semi").collect())
     assert got == want and len(got) == 12
+
+
+# --------------------------------------------------------------- membership
+
+def test_build_members_exact_bloom_and_caps():
+    from skipmap_processor_spark.lake import (_MEMBER_EXACT_CAP,
+                                              _MEMBER_MAX_DISTINCT,
+                                              _build_members,
+                                              _members_may_contain)
+
+    # exact set below the cap (dups and Nones dropped)
+    mem = _build_members(["b", "a", "b", None])
+    assert mem == {"s": ["a", "b"]}
+    assert _members_may_contain(mem, ["b"]) and not _members_may_contain(mem, ["c"])
+
+    # bloom past the exact cap: zero false negatives, useful rejection rate
+    vals = ["repo_%04d" % i for i in range(_MEMBER_EXACT_CAP + 76)]
+    mem = _build_members(vals)
+    assert "b" in mem
+    assert all(_members_may_contain(mem, [v]) for v in vals)
+    fps = sum(_members_may_contain(mem, ["absent_%05d" % i])
+              for i in range(1000))
+    assert fps < 100  # ~1% design point; 10% is the generous bound
+
+    # past the distinct cap membership cannot prune: store nothing
+    assert _build_members(["r%d" % i for i in range(_MEMBER_MAX_DISTINCT + 1)]) is None
+    assert _build_members([]) is None
+
+
+def test_prune_by_members_keeps_summaryless_files():
+    from skipmap_processor_spark.lake import _build_members, _prune_by_members
+
+    files = [
+        {"path": "legacy"},                                    # no summary
+        {"path": "hit", "members": {"repo": _build_members(["rA", "rZ"])}},
+        {"path": "miss", "members": {"repo": _build_members(["rB", "rY"])}},
+    ]
+    kept, skipped = _prune_by_members(files, "repo", ["rZ"])
+    assert [f["path"] for f in kept] == ["legacy", "hit"] and skipped == 1
+
+
+def _build_scattered(spark, path, mode="mor"):
+    """Epochs each touch a SCATTERED repo pair: every file's footer repo
+    RANGE spans nearly the whole repo space, so the min/max prune keeps
+    everything and only the membership summary can skip."""
+    t = LakeTable.create(spark, path, num_buckets=2, merge_mode=mode)
+    pairs = [("repo_000", "repo_999"), ("repo_111", "repo_888"),
+             ("repo_222", "repo_777"), ("repo_333", "repo_666")]
+    for e, (ra, rb) in enumerate(pairs):
+        rows = [(r, "f%d.py" % i, c(e + 1), i, "upsert", "go",
+                 "%s@%d" % (r, e), "s")
+                for r in (ra, rb) for i in range(3)]
+        t.merge_batch(_mk_actions(spark, rows), epoch=e)
+    return t
+
+
+def test_membership_prunes_scattered_epochs_and_read_is_exact(spark, warehouse):
+    from skipmap_processor_spark.lake import (_prune_by_members,
+                                              _prune_by_stats)
+
+    for mode in ("mor", "cow"):
+        t = _build_scattered(spark, os.path.join(warehouse, "sc_" + mode), mode)
+        fes = t.file_entries()
+        assert all(fe.get("members", {}).get("repo") for fe in fes), mode
+
+        # the range prune is useless on scattered epochs; membership is not
+        by_range, _ = _prune_by_stats(fes, "repo", ["repo_333"])
+        kept, skipped = _prune_by_members(by_range, "repo", ["repo_333"])
+        if mode == "mor":
+            # range keeps straddlers (e.g. [repo_222, repo_777] admits
+            # repo_333); membership skips them, leaving exactly the files
+            # that truly wrote the repo (exact sets here: assert precisely)
+            assert skipped > 0 and len(kept) < len(by_range)
+            assert all("repo_333" in fe["members"]["repo"]["s"] for fe in kept)
+        # CoW rewrites whole buckets so later files hold many repos; the
+        # assertions below (read equality) are the contract there
+
+        # repo-scoped read == brute-force filter of the full read
+        got = sorted(tuple(r) for r in t.read(repos=["repo_333"]).collect())
+        want = sorted(tuple(r) for r in
+                      t.read().filter(F.col("repo") == "repo_333").collect())
+        assert got == want and len(got) == 3, mode
+
+
+def test_membership_survives_compact_and_changefeed_equality(spark, warehouse):
+    from skipmap_processor_spark.changefeed import table_changes
+
+    t = _build_scattered(spark, os.path.join(warehouse, "sc_cf"), "mor")
+    v_mid = t._latest_version()
+    rows = [("repo_555", "g.py", c(9), 0, "upsert", "go", "new", "s")]
+    t.merge_batch(_mk_actions(spark, rows), epoch=10)
+
+    # changefeed over the last commit: base-file membership prune must not
+    # change the feed (repo_555 never existed before -> pure insert)
+    ch = table_changes(t, v_mid, t._latest_version())
+    got = [(r["repo"], r["path"], r["_change_type"]) for r in ch.collect()]
+    assert got == [("repo_555", "g.py", "insert")]
+
+    # compact() folds deltas; the folded files must carry fresh summaries
+    t.compact()
+    fes = t.file_entries()
+    assert fes and all(fe.get("members", {}).get("repo") for fe in fes)
+    got = sorted(tuple(r) for r in t.read(repos=["repo_555"]).collect())
+    assert len(got) == 1
