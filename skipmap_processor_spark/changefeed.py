@@ -58,6 +58,13 @@ _LOGICAL_KINDS = {"merge", None}
 
 CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
 
+# extrema (min/max) incremental maintenance: max number of groups whose
+# extremum may be recomputed from the live table in one refresh before the
+# refresh falls back to a full rebuild. Bounds driver-side key collection
+# and keeps the group-pruned rescan small; a rebuild is the honest answer
+# when a churn burst retracts the extremum of many groups at once.
+_EXT_RECOMPUTE_CAP = 256
+
 
 class VersionExpired(Exception):
     """The requested snapshot's manifest was vacuumed away. Raise rather
@@ -467,26 +474,59 @@ class IncrementalView:
     live rows (``{"n_files": "1", "total_bytes": "length(content)"}``);
     ``count``-style metrics are just ``sum(1)``. Signed maintenance:
     inserts/update-postimages contribute ``+expr``, deletes/update-
-    preimages ``-expr`` — exact for sum/count (the classic IVM result;
-    min/max are not maintainable under deletes without auxiliary state and
-    are rejected by construction since every metric is a sum).
+    preimages ``-expr`` — exact for sum/count (the classic IVM result).
+
+    ``extrema`` maps output column -> ``("min"|"max", expr)``. Min/max are
+    NOT signed-maintainable (a delete can retract the current extremum),
+    so they use the standard recompute-on-retraction strategy: additions
+    fold into the stored extremum with ``greatest``/``least`` (exact —
+    additions can only improve it), and a group is recomputed from the
+    live table ONLY when a removed row's value ties-or-beats everything
+    the refresh can witness (the stored extremum folded with this round's
+    additions). In steady state retractions are rare and the recompute is
+    a group-pruned scan bounded by ``_EXT_RECOMPUTE_CAP`` groups (above
+    the cap the refresh falls back to an honest full rebuild — bounded
+    driver work, never a silent unbounded collect). When grouping by
+    ``repo`` the recompute scan is additionally file-level pruned via
+    ``LakeTable.read(repos=...)`` (footer ranges + membership summaries).
 
     State layout: ``{path}/state-v{N}/`` parquet + ``{path}/_meta.json``
     holding the lake version the state reflects; refresh writes the new
     state dir BEFORE flipping the meta pointer (crash-safe: a torn refresh
-    leaves the old pointer valid), then GCs older state dirs.
+    leaves the old pointer valid), then GCs older state dirs. A config
+    change (group_cols/metrics/extrema differing from the meta) triggers
+    a full rebuild rather than a wrong incremental merge.
     """
 
     def __init__(self, spark: SparkSession, lake: LakeTable, path: str,
-                 group_cols: list[str], metrics: dict[str, str]):
+                 group_cols: list[str], metrics: dict[str, str],
+                 extrema: dict[str, tuple[str, str]] | None = None):
         self.spark = spark
         self.lake = lake
         self.path = path
         self.group_cols = list(group_cols)
         self.metrics = dict(metrics)
+        self.extrema = {k: (str(kind).lower(), expr)
+                        for k, (kind, expr) in dict(extrema or {}).items()}
+        for name, (kind, _) in self.extrema.items():
+            if kind not in ("min", "max"):
+                raise ValueError(f"extrema[{name!r}]: kind must be "
+                                 f"'min' or 'max', got {kind!r}")
+            if name in self.metrics or name.startswith("_"):
+                raise ValueError(f"extrema name {name!r} collides with a "
+                                 "metric or reserved (_) column")
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------- state
+    def _ext_json(self) -> dict:
+        """extrema config in a JSON-stable shape (tuples -> lists)."""
+        return {k: [kind, expr] for k, (kind, expr) in self.extrema.items()}
+
+    def _config_matches(self, meta: dict) -> bool:
+        return (meta.get("group_cols") == self.group_cols
+                and meta.get("metrics") == self.metrics
+                and meta.get("extrema", {}) == self._ext_json())
+
     def _meta(self) -> dict | None:
         p = os.path.join(self.path, "_meta.json")
         if not os.path.exists(p):
@@ -501,7 +541,8 @@ class IncrementalView:
         with open(tmp, "w") as f:
             json.dump({"version": version, "state": name,
                        "group_cols": self.group_cols,
-                       "metrics": self.metrics}, f)
+                       "metrics": self.metrics,
+                       "extrema": self._ext_json()}, f)
         os.replace(tmp, os.path.join(self.path, "_meta.json"))
         for fn in os.listdir(self.path):
             if fn.startswith("state-") and fn != name:
@@ -527,10 +568,15 @@ class IncrementalView:
 
     def refresh(self) -> dict:
         """Bring the view up to the lake's latest version. Full build on
-        first call (or after VersionExpired — the retention window moved
-        past the last refresh); incremental from the change feed after."""
+        first call, on a config change, or after VersionExpired — the
+        retention window moved past the last refresh; incremental from the
+        change feed after."""
         latest = self.lake._latest_version()
         meta = self._meta()
+        if meta is not None and not self._config_matches(meta):
+            r = self._full_build(latest)
+            r["reason"] = "config_changed"
+            return r
         if meta is not None and meta["version"] == latest:
             return {"mode": "noop", "version": latest}
         if meta is None:
@@ -539,29 +585,118 @@ class IncrementalView:
             cf = table_changes(self.lake, meta["version"], latest)
         except VersionExpired:
             return self._full_build(latest)
-        sign = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"),
-            F.lit(1),
-        ).otherwise(F.lit(-1))
+        is_add = F.col("_change_type").isin("insert", "update_postimage")
+        sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
+        ext_delta = []
+        for n, (kind, expr) in self.extrema.items():
+            fn = F.min if kind == "min" else F.max
+            v = F.expr(expr)
+            ext_delta.append(fn(F.when(is_add, v)).alias(f"_ext_{n}"))
+            ext_delta.append(fn(F.when(~is_add, v)).alias(f"_rem_{n}"))
         delta = (
             cf.groupBy(*self.group_cols)
-            .agg(*self._aggs(sign), F.sum(sign).alias("_cnt"))
+            .agg(*self._aggs(sign), F.sum(sign).alias("_cnt"), *ext_delta)
         )
-        # one union + re-agg: a single shuffle over |state|+|delta| rows
+        state = self.read()
+        if self.extrema:
+            state = state.select(
+                *self.group_cols, *self.metrics, "_cnt",
+                *[F.col(n).alias(f"_ext_{n}") for n in self.extrema])
+        # one union + re-agg: a single shuffle over |state|+|delta| rows.
+        # For extrema the re-agg folds the stored extremum with this
+        # round's additions (exact — additions can only improve it) and
+        # carries the removal-side extremum for the retraction test;
+        # allowMissingColumns fills the state side's _rem_* with nulls,
+        # which min/max skip.
+        merge_aggs = (
+            [F.sum(F.col(n)).alias(n) for n in self.metrics]
+            + [F.sum("_cnt").alias("_cnt")]
+        )
+        for n, (kind, _) in self.extrema.items():
+            fn = F.min if kind == "min" else F.max
+            merge_aggs.append(fn(f"_ext_{n}").alias(f"_ext_{n}"))
+            merge_aggs.append(fn(f"_rem_{n}").alias(f"_rem_{n}"))
         merged = (
-            self.read().unionByName(delta)
+            state.unionByName(delta, allowMissingColumns=True)
             .groupBy(*self.group_cols)
-            .agg(*[F.sum(F.col(n)).alias(n) for n in self.metrics],
-                 F.sum("_cnt").alias("_cnt"))
+            .agg(*merge_aggs)
             .filter(F.col("_cnt") > 0)
         )
+        out = {"mode": "incremental", "version": latest,
+               "from_version": meta["version"]}
+        if self.extrema:
+            merged, n_rc = self._apply_extrema(merged, latest)
+            if merged is None:
+                r = self._full_build(latest)
+                r["reason"] = "ext_recompute_cap"
+                return r
+            out["ext_recomputed_groups"] = n_rc
         self._write_state(merged, latest)
-        return {"mode": "incremental", "version": latest,
-                "from_version": meta["version"]}
+        return out
+
+    def _apply_extrema(self, merged: DataFrame, latest: int):
+        """Resolve extrema on the merged state: keep the folded value for
+        groups no retraction can have moved (the common case); recompute
+        from the live table only the groups where a removed value
+        ties-or-beats everything the refresh can witness. Returns
+        ``(resolved state, n_recomputed)`` or ``(None, n)`` when the
+        recompute set exceeds ``_EXT_RECOMPUTE_CAP`` (caller rebuilds)."""
+        tests = []
+        for n, (kind, _) in self.extrema.items():
+            rem, ext = F.col(f"_rem_{n}"), F.col(f"_ext_{n}")
+            beats = (rem <= ext) if kind == "min" else (rem >= ext)
+            tests.append(rem.isNotNull() & (ext.isNull() | beats))
+        need = tests[0]
+        for t in tests[1:]:
+            need = need | t
+        # checkpoint: the state is group-cardinality-sized and is consumed
+        # three times below (recompute-key probe, resolve, write)
+        merged = merged.localCheckpoint(eager=True)
+        # bounded driver transfer: cap+1 rows, one job
+        rc = (merged.filter(need).select(*self.group_cols)
+              .limit(_EXT_RECOMPUTE_CAP + 1).collect())
+        if len(rc) > _EXT_RECOMPUTE_CAP:
+            return None, len(rc)
+
+        def _resolved(df: DataFrame, rc_marked: bool) -> list:
+            cols = ([F.col(c) for c in self.group_cols]
+                    + [F.col(n) for n in self.metrics] + [F.col("_cnt")])
+            for n in self.extrema:
+                if rc_marked:
+                    cols.append(
+                        F.when(F.coalesce(F.col("_rc"), F.lit(False)),
+                               F.col(f"_new_{n}"))
+                        .otherwise(F.col(f"_ext_{n}")).alias(n))
+                else:
+                    cols.append(F.col(f"_ext_{n}").alias(n))
+            return cols
+
+        if not rc:
+            return merged.select(*_resolved(merged, False)), 0
+        # group-pruned live rescan for just the retracted groups; when the
+        # view groups by repo the scan is additionally file-level pruned
+        # (footer ranges + membership summaries)
+        repos = (sorted({r["repo"] for r in rc})
+                 if "repo" in self.group_cols else None)
+        live = self.lake.read(version=latest, repos=repos)
+        kdf = self.spark.createDataFrame(
+            rc, merged.select(*self.group_cols).schema)
+        sub = live.join(F.broadcast(kdf), self.group_cols, "left_semi")
+        re_aggs = []
+        for n, (kind, expr) in self.extrema.items():
+            fn = F.min if kind == "min" else F.max
+            re_aggs.append(fn(F.expr(expr)).alias(f"_new_{n}"))
+        rec = (sub.groupBy(*self.group_cols).agg(*re_aggs)
+               .withColumn("_rc", F.lit(True)))
+        joined = merged.join(F.broadcast(rec), self.group_cols, "left")
+        return joined.select(*_resolved(joined, True)), len(rc)
 
     def _full_build(self, latest: int) -> dict:
         full = self.lake.read(version=latest)
-        state = full.groupBy(*self.group_cols).agg(
-            *self._aggs(), F.count(F.lit(1)).alias("_cnt"))
+        aggs = self._aggs() + [F.count(F.lit(1)).alias("_cnt")]
+        for n, (kind, expr) in self.extrema.items():
+            fn = F.min if kind == "min" else F.max
+            aggs.append(fn(F.expr(expr)).alias(n))
+        state = full.groupBy(*self.group_cols).agg(*aggs)
         self._write_state(state, latest)
         return {"mode": "full", "version": latest}

@@ -568,3 +568,182 @@ def test_follower_catchup_across_120_version_trickle(spark, warehouse):
     up_rows = sorted(tuple(x) for x in up.read().select(*cols).collect())
     dn_rows = sorted(tuple(x) for x in down.read().select(*cols).collect())
     assert up_rows == dn_rows
+
+
+# ------------------------------------------------- extrema (min/max) IVM
+
+def _ext_oracle(t: LakeTable, group: str) -> dict:
+    return {
+        r[group]: (r["n_files"], r["max_bytes"], r["min_bytes"])
+        for r in t.read().groupBy(group).agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.max(F.length("content")).alias("max_bytes"),
+            F.min(F.length("content")).alias("min_bytes"),
+        ).collect()
+    }
+
+
+def _ext_view(view: IncrementalView, group: str) -> dict:
+    return {
+        r[group]: (r["n_files"], r["max_bytes"], r["min_bytes"])
+        for r in view.read().collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_extrema_incremental_matches_oracle(spark, warehouse, tmp_path,
+                                            mode):
+    t = LakeTable.create(spark, os.path.join(warehouse, f"ext_{mode}"),
+                         num_buckets=4, merge_mode=mode)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aaaaaaaa", "s1"),  # 8
+        ("r1", "b.py", c(1), 1, "upsert", "python", "bb", "s2"),       # 2
+        ("r1", "c.go", c(1), 2, "upsert", "go", "cccccc", "s3"),       # 6
+        ("r1", "d.go", c(1), 3, "upsert", "go", "dd", "s4"),           # 2
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / f"ext_{mode}"),
+        group_cols=["lang"], metrics={"n_files": "1"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+    )
+    assert view.refresh()["mode"] == "full"
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+    # additions only (one beats the stored max): zero recomputes, exact
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "e.py", c(2), 0, "upsert", "python", "e" * 12, "s5"),
+        ("r1", "f.go", c(2), 1, "upsert", "go", "fff", "s6"),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 0
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+    # retraction of a NON-extremal row: provably can't move min or max
+    # (2 < stored min 2? ties! b.py at 2 ties the python min) — use a
+    # middle-valued go row instead; go has {6, 2, 3}: delete the 3
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "f.go", c(3), 0, "delete", None, None, None),
+    ]), epoch=2)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 0
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+    # delete the python max (12): retraction ties-or-beats -> recompute
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "e.py", c(4), 0, "delete", None, None, None),
+    ]), epoch=3)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 1
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+    # update shrinks the current go max (6 -> 1): pre-image retraction
+    # beats the folded candidate -> recompute; also moves the go min
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "c.go", c(5), 0, "upsert", "go", "c", "s7"),
+    ]), epoch=4)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 1
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+    # group-moving update: python max row hops to a brand-new group
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(6), 0, "upsert", "rust", "aaaaaaaa", "s8"),
+    ]), epoch=5)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+
+def test_extrema_repo_grouped_prunes_and_matches(spark, warehouse,
+                                                 tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "ext_repo"),
+                         num_buckets=4, merge_mode="mor")
+    rows = []
+    for i in range(8):
+        for j in range(4):
+            rows.append((f"repo{i}", f"f{j}.py", c(1), i * 4 + j,
+                         "upsert", "python", "x" * (j + 1), f"s{i}{j}"))
+    t.merge_batch(_mk_actions(spark, rows), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "ext_repo"),
+        group_cols=["repo"], metrics={"n_files": "1"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+    )
+    view.refresh()
+    # retract the max of exactly one repo -> repo-pruned recompute scan
+    t.merge_batch(_mk_actions(spark, [
+        ("repo3", "f3.py", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 1
+    assert _ext_view(view, "repo") == _ext_oracle(t, "repo")
+
+
+def test_extrema_cap_falls_back_to_rebuild(spark, warehouse, tmp_path,
+                                           monkeypatch):
+    import skipmap_processor_spark.changefeed as cfm
+    t = LakeTable.create(spark, os.path.join(warehouse, "ext_cap"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aaaa", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "python", "b", "s2"),
+        ("r1", "c.go", c(1), 2, "upsert", "go", "cccc", "s3"),
+        ("r1", "d.go", c(1), 3, "upsert", "go", "d", "s4"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "ext_cap"),
+        group_cols=["lang"], metrics={"n_files": "1"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+    )
+    view.refresh()
+    # retract BOTH groups' maxima with the cap at 1 -> honest full rebuild
+    monkeypatch.setattr(cfm, "_EXT_RECOMPUTE_CAP", 1)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "delete", None, None, None),
+        ("r1", "c.go", c(2), 1, "delete", None, None, None),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "full"
+    assert r["reason"] == "ext_recompute_cap"
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+
+def test_extrema_config_change_rebuilds(spark, warehouse, tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "ext_cfg"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aaaa", "s1"),
+    ]), epoch=0)
+    plain = IncrementalView(spark, t, str(tmp_path / "ext_cfg"),
+                            group_cols=["lang"], metrics={"n_files": "1"})
+    assert plain.refresh()["mode"] == "full"
+    # same path, extrema added: incremental merge would be wrong -> rebuild
+    withext = IncrementalView(
+        spark, t, str(tmp_path / "ext_cfg"),
+        group_cols=["lang"], metrics={"n_files": "1"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+    )
+    r = withext.refresh()
+    assert r["mode"] == "full"
+    assert r["reason"] == "config_changed"
+    assert _ext_view(withext, "lang") == _ext_oracle(t, "lang")
+
+
+def test_extrema_rejects_bad_config(spark, warehouse, tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "ext_bad"),
+                         num_buckets=4, merge_mode="mor")
+    with pytest.raises(ValueError, match="min.*max|must be"):
+        IncrementalView(spark, t, str(tmp_path / "b1"), group_cols=["lang"],
+                        metrics={}, extrema={"m": ("avg", "length(content)")})
+    with pytest.raises(ValueError, match="collides"):
+        IncrementalView(spark, t, str(tmp_path / "b2"), group_cols=["lang"],
+                        metrics={"m": "1"}, extrema={"m": ("max", "1")})
