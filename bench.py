@@ -386,6 +386,7 @@ def main() -> None:
              "--cpus", "8"], timeout=900))
         qsecs["ivm_incremental_refresh_4m"] = ivm["incremental_refresh_sec"]
         qsecs["ivm_full_rebuild_4m"] = ivm["full_rebuild_sec"]
+        qsecs["ivm_extrema_refresh_4m"] = ivm["ext_incremental_refresh_sec"]
     except Exception as e:
         errors["ivm"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -457,6 +458,7 @@ def main() -> None:
             "rows": ann.get("rows"),
         },
         "ivm_speedup_vs_rescan": ivm and ivm["speedup_vs_rescan"],
+        "ivm_ext_speedup_vs_rescan": ivm and ivm.get("ext_speedup_vs_rescan"),
         "cf_catchup_1000v": cf_catchup and {
             "discovery_ms_per_version": cf_catchup["discovery_ms_per_version"],
             "feed_sec": cf_catchup["catchup_feed_sec"],

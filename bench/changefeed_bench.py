@@ -77,6 +77,18 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
     assert view.refresh()["mode"] == "full"
     full_build_sec = time.monotonic() - t0
 
+    # extrema twin: same group/metrics plus min/max maintained by
+    # fold-on-insert + bounded recompute-on-retraction (the delta below
+    # deletes max-length rows, so the retraction path runs at bench scale)
+    ext_view = IncrementalView(
+        spark, lake, os.path.join(scratch, "view_ext"),
+        group_cols=["lang"],
+        metrics={"n_files": "1", "total_bytes": "length(content)"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+    )
+    assert ext_view.refresh()["mode"] == "full"
+
     # delta: updates on an evenly-spread key subset, 10% deletes, 10% new
     # keys — every change class exercised, deterministic
     n_upd = changes - 2 * (changes // 10)
@@ -127,6 +139,11 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
     incremental_sec = time.monotonic() - t0
     assert r["mode"] == "incremental", r
 
+    t0 = time.monotonic()
+    r_ext = ext_view.refresh()
+    ext_incremental_sec = time.monotonic() - t0
+    assert r_ext["mode"] == "incremental", r_ext
+
     # the naive consumer: full rebuild at the same final version
     naive = IncrementalView(
         spark, lake, os.path.join(scratch, "view_naive"),
@@ -142,6 +159,21 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
     b = {tuple(x) for x in naive.read().collect()}
     assert a == b, "incremental state diverged from full rebuild"
 
+    # extrema equivalence vs a fresh rebuild at the same version
+    naive_ext = IncrementalView(
+        spark, lake, os.path.join(scratch, "view_ext_naive"),
+        group_cols=["lang"],
+        metrics={"n_files": "1", "total_bytes": "length(content)"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+    )
+    t0 = time.monotonic()
+    assert naive_ext.refresh()["mode"] == "full"
+    ext_full_rebuild_sec = time.monotonic() - t0
+    a = {tuple(x) for x in ext_view.read().collect()}
+    b = {tuple(x) for x in naive_ext.read().collect()}
+    assert a == b, "extrema incremental state diverged from full rebuild"
+
     spark.stop()
     shutil.rmtree(scratch, ignore_errors=True)
     return {
@@ -155,6 +187,11 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
         "incremental_refresh_sec": round(incremental_sec, 3),
         "full_rebuild_sec": round(full_rebuild_sec, 3),
         "speedup_vs_rescan": round(full_rebuild_sec / max(incremental_sec, 1e-9), 2),
+        "ext_incremental_refresh_sec": round(ext_incremental_sec, 3),
+        "ext_full_rebuild_sec": round(ext_full_rebuild_sec, 3),
+        "ext_recomputed_groups": r_ext.get("ext_recomputed_groups"),
+        "ext_speedup_vs_rescan": round(
+            ext_full_rebuild_sec / max(ext_incremental_sec, 1e-9), 2),
     }
 
 
