@@ -496,11 +496,27 @@ class IncrementalView:
     leaves the old pointer valid), then GCs older state dirs. A config
     change (group_cols/metrics/extrema differing from the meta) triggers
     a full rebuild rather than a wrong incremental merge.
+
+    ``dim_path``/``dim_on`` add a **star-schema enrichment**: every row
+    source (change-feed rows, full-build scans, extrema recompute scans)
+    is left-joined to a broadcast dimension table before grouping, so
+    ``group_cols`` and ``metrics``/``extrema`` expressions may reference
+    dimension attributes (classic IVM over a star join). The maintenance
+    stays exact because the signed fold distributes over a join against a
+    FIXED dimension; the dimension's file listing is fingerprinted into
+    the view meta, and any dimension change forces an honest full rebuild
+    (a changed dim row can silently re-map every group — no incremental
+    merge is sound). Dimensions are required to be unique on ``dim_on``
+    (checked each refresh — duplicate keys would multiply fact rows) and
+    broadcast-sized, the star-schema contract; a dimension too big to
+    broadcast should be denormalized into the fact table at ingest.
     """
 
     def __init__(self, spark: SparkSession, lake: LakeTable, path: str,
                  group_cols: list[str], metrics: dict[str, str],
-                 extrema: dict[str, tuple[str, str]] | None = None):
+                 extrema: dict[str, tuple[str, str]] | None = None,
+                 dim_path: str | None = None,
+                 dim_on: list[str] | None = None):
         self.spark = spark
         self.lake = lake
         self.path = path
@@ -515,7 +531,78 @@ class IncrementalView:
             if name in self.metrics or name.startswith("_"):
                 raise ValueError(f"extrema name {name!r} collides with a "
                                  "metric or reserved (_) column")
+        if (dim_path is None) != (dim_on is None):
+            raise ValueError("dim_path and dim_on must be given together")
+        self.dim_path = dim_path
+        self.dim_on = list(dim_on) if dim_on else None
+        if self.dim_on is not None and not self.dim_on:
+            raise ValueError("dim_on must name at least one join column")
+        self._dim_cache: DataFrame | None = None
         os.makedirs(path, exist_ok=True)
+
+    # --------------------------------------------------------- dimension
+    def _dim_fingerprint(self) -> str | None:
+        """Listing-only fingerprint of the dimension's data files
+        (relpath, size, mtime_ns) — cheap per refresh, no scan. Changes
+        whenever any dim file is rewritten, added, or removed."""
+        if self.dim_path is None:
+            return None
+        import hashlib
+        h = hashlib.sha256()
+        # invalidate the cached dim plan whenever the listing moves —
+        # a cached plan pins the old file list
+        fp = self._walk_fp(h)
+        if fp != getattr(self, "_dim_cache_fp", None):
+            self._dim_cache = None
+            self._dim_cache_fp = fp
+        return fp
+
+    def _walk_fp(self, h) -> str:
+        for root, dirs, files in sorted(os.walk(self.dim_path)):
+            dirs.sort()
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, fn))
+                rel = os.path.relpath(os.path.join(root, fn), self.dim_path)
+                h.update(f"{rel}\x00{st.st_size}\x00{st.st_mtime_ns}\n"
+                         .encode())
+        return h.hexdigest()
+
+    def _dim_df(self) -> DataFrame:
+        """Load + validate the dimension (cached per view instance):
+        unique on ``dim_on``; non-key dim columns must not collide with
+        fact columns (ambiguous references would silently bind wrong)."""
+        if self._dim_cache is not None:
+            return self._dim_cache
+        dim = self.spark.read.parquet(self.dim_path)
+        missing = [k for k in self.dim_on if k not in dim.columns]
+        if missing:
+            raise ValueError(f"dim_on columns missing from dim: {missing}")
+        fact_cols = set(self.lake.current_columns())
+        clash = [c for c in dim.columns
+                 if c not in self.dim_on and c in fact_cols]
+        if clash:
+            raise ValueError(
+                f"dim columns collide with fact columns: {clash} — rename "
+                "them in the dim table")
+        dupe = (dim.groupBy(*self.dim_on).count()
+                .filter(F.col("count") > 1).limit(1).count())
+        if dupe:
+            raise ValueError(
+                f"dim table is not unique on {self.dim_on} — duplicate "
+                "keys would multiply fact rows")
+        self._dim_cache = dim
+        return dim
+
+    def _enrich(self, df: DataFrame) -> DataFrame:
+        """Left-join a row source to the broadcast dimension. Left join:
+        a fact row with no dim match keeps null attributes (and lands in
+        a null-keyed group if grouped by them) rather than vanishing from
+        counts."""
+        if self.dim_path is None:
+            return df
+        return df.join(F.broadcast(self._dim_df()), self.dim_on, "left")
 
     # ------------------------------------------------------------- state
     def _ext_json(self) -> dict:
@@ -525,7 +612,9 @@ class IncrementalView:
     def _config_matches(self, meta: dict) -> bool:
         return (meta.get("group_cols") == self.group_cols
                 and meta.get("metrics") == self.metrics
-                and meta.get("extrema", {}) == self._ext_json())
+                and meta.get("extrema", {}) == self._ext_json()
+                and meta.get("dim_path") == self.dim_path
+                and meta.get("dim_on") == self.dim_on)
 
     def _meta(self) -> dict | None:
         p = os.path.join(self.path, "_meta.json")
@@ -534,7 +623,8 @@ class IncrementalView:
         with open(p) as f:
             return json.load(f)
 
-    def _write_state(self, df: DataFrame, version: int) -> None:
+    def _write_state(self, df: DataFrame, version: int,
+                     dim_fp: str | None = None) -> None:
         name = f"state-v{version}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, name))
         tmp = os.path.join(self.path, f"_meta.tmp.{uuid.uuid4().hex}")
@@ -542,7 +632,10 @@ class IncrementalView:
             json.dump({"version": version, "state": name,
                        "group_cols": self.group_cols,
                        "metrics": self.metrics,
-                       "extrema": self._ext_json()}, f)
+                       "extrema": self._ext_json(),
+                       "dim_path": self.dim_path,
+                       "dim_on": self.dim_on,
+                       "dim_fp": dim_fp}, f)
         os.replace(tmp, os.path.join(self.path, "_meta.json"))
         for fn in os.listdir(self.path):
             if fn.startswith("state-") and fn != name:
@@ -573,16 +666,24 @@ class IncrementalView:
         change feed after."""
         latest = self.lake._latest_version()
         meta = self._meta()
+        dim_fp = self._dim_fingerprint()
         if meta is not None and not self._config_matches(meta):
             r = self._full_build(latest)
             r["reason"] = "config_changed"
+            return r
+        if meta is not None and meta.get("dim_fp") != dim_fp:
+            # a rewritten dimension can silently re-map every group —
+            # no incremental merge against the old enrichment is sound
+            r = self._full_build(latest)
+            r["reason"] = "dim_changed"
             return r
         if meta is not None and meta["version"] == latest:
             return {"mode": "noop", "version": latest}
         if meta is None:
             return self._full_build(latest)
         try:
-            cf = table_changes(self.lake, meta["version"], latest)
+            cf = self._enrich(table_changes(self.lake, meta["version"],
+                                            latest))
         except VersionExpired:
             return self._full_build(latest)
         is_add = F.col("_change_type").isin("insert", "update_postimage")
@@ -631,7 +732,7 @@ class IncrementalView:
                 r["reason"] = "ext_recompute_cap"
                 return r
             out["ext_recomputed_groups"] = n_rc
-        self._write_state(merged, latest)
+        self._write_state(merged, latest, dim_fp=dim_fp)
         return out
 
     def _apply_extrema(self, merged: DataFrame, latest: int):
@@ -678,7 +779,7 @@ class IncrementalView:
         # (footer ranges + membership summaries)
         repos = (sorted({r["repo"] for r in rc})
                  if "repo" in self.group_cols else None)
-        live = self.lake.read(version=latest, repos=repos)
+        live = self._enrich(self.lake.read(version=latest, repos=repos))
         kdf = self.spark.createDataFrame(
             rc, merged.select(*self.group_cols).schema)
         sub = live.join(F.broadcast(kdf), self.group_cols, "left_semi")
@@ -692,11 +793,11 @@ class IncrementalView:
         return joined.select(*_resolved(joined, True)), len(rc)
 
     def _full_build(self, latest: int) -> dict:
-        full = self.lake.read(version=latest)
+        full = self._enrich(self.lake.read(version=latest))
         aggs = self._aggs() + [F.count(F.lit(1)).alias("_cnt")]
         for n, (kind, expr) in self.extrema.items():
             fn = F.min if kind == "min" else F.max
             aggs.append(fn(F.expr(expr)).alias(n))
         state = full.groupBy(*self.group_cols).agg(*aggs)
-        self._write_state(state, latest)
+        self._write_state(state, latest, dim_fp=self._dim_fingerprint())
         return {"mode": "full", "version": latest}

@@ -747,3 +747,156 @@ def test_extrema_rejects_bad_config(spark, warehouse, tmp_path):
     with pytest.raises(ValueError, match="collides"):
         IncrementalView(spark, t, str(tmp_path / "b2"), group_cols=["lang"],
                         metrics={"m": "1"}, extrema={"m": ("max", "1")})
+
+
+# ------------------------------------------------ dimension-enriched views
+
+def _mk_dim(spark, path, rows, schema="lang string, tier string"):
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def _dim_oracle(t: LakeTable, spark, dim_path: str, group: str) -> dict:
+    dim = spark.read.parquet(dim_path)
+    return {
+        row[group]: (row["n"], row["b"])
+        for row in t.read().join(dim, "lang", "left")
+        .groupBy(group)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length("content")).alias("b"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_dim_enriched_view_incremental_matches_oracle(
+        spark, warehouse, tmp_path, mode):
+    """Star-join IVM: group by a broadcast-dimension attribute; the signed
+    fold stays exact because the dimension is fixed across the range."""
+    t = LakeTable.create(spark, os.path.join(warehouse, f"dimv_{mode}"),
+                         num_buckets=4, merge_mode=mode)
+    dim_path = str(tmp_path / "dim")
+    _mk_dim(spark, dim_path, [("python", "scripting"), ("go", "compiled"),
+                              ("rust", "compiled")])
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aaaa", "s1"),
+        ("r1", "b.go", c(1), 1, "upsert", "go", "bb", "s2"),
+        ("r1", "c.rs", c(1), 2, "upsert", "rust", "cccccc", "s3"),
+        ("r1", "d.sh", c(1), 3, "upsert", "shell", "dd", "s4"),  # no dim row
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / f"dv_{mode}"), group_cols=["tier"],
+        metrics={"n": "1", "b": "length(content)"},
+        dim_path=dim_path, dim_on=["lang"])
+    assert view.refresh()["mode"] == "full"
+    got = {r["tier"]: (r["n"], r["b"]) for r in view.read().collect()}
+    assert got == _dim_oracle(t, spark, dim_path, "tier")
+    assert None in got  # unmatched lang lands in the null tier, not dropped
+
+    # churn: tier-moving update (go->python flips compiled->scripting),
+    # delete, insert, in-place content update
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "b.go", c(2), 0, "upsert", "python", "bb22", "s5"),
+        ("r1", "c.rs", c(2), 1, "delete", None, None, None),
+        ("r1", "e.rs", c(2), 2, "upsert", "rust", "eee", "s6"),
+        ("r1", "a.py", c(2), 3, "upsert", "python", "aaaaaaaa", "s7"),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    got = {r2["tier"]: (r2["n"], r2["b"]) for r2 in view.read().collect()}
+    assert got == _dim_oracle(t, spark, dim_path, "tier")
+
+
+def test_dim_change_forces_full_rebuild(spark, warehouse, tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "dimc"),
+                         num_buckets=4, merge_mode="cow")
+    dim_path = str(tmp_path / "dimc")
+    _mk_dim(spark, dim_path, [("python", "t1"), ("go", "t2")])
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aa", "s1"),
+        ("r1", "b.go", c(1), 1, "upsert", "go", "bbb", "s2"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "dvc"), group_cols=["tier"],
+        metrics={"n": "1", "b": "length(content)"},
+        dim_path=dim_path, dim_on=["lang"])
+    view.refresh()
+    # rewrite the dimension: python re-maps t1 -> t9. Incremental merge
+    # against the old enrichment would be silently wrong; the fingerprint
+    # forces a rebuild even though the lake itself did not change.
+    _mk_dim(spark, dim_path, [("python", "t9"), ("go", "t2")])
+    r = view.refresh()
+    assert r["mode"] == "full" and r["reason"] == "dim_changed"
+    got = {row["tier"]: (row["n"], row["b"])
+           for row in view.read().collect()}
+    assert got == _dim_oracle(t, spark, dim_path, "tier")
+    assert "t9" in got and "t1" not in got
+    # and with the dim stable again, lake churn goes back to incremental
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "c.go", c(2), 0, "upsert", "go", "cc", "s3"),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    got = {row["tier"]: (row["n"], row["b"])
+           for row in view.read().collect()}
+    assert got == _dim_oracle(t, spark, dim_path, "tier")
+
+
+def test_dim_enriched_extrema_recompute_scans_enriched(
+        spark, warehouse, tmp_path):
+    """Extrema retraction rescan must re-join the live scan to the dim —
+    a recompute over un-enriched rows would group by a missing column."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "dime"),
+                         num_buckets=4, merge_mode="mor")
+    dim_path = str(tmp_path / "dime")
+    _mk_dim(spark, dim_path, [("python", "t1"), ("go", "t1"),
+                              ("rust", "t2")])
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "a" * 9, "s1"),
+        ("r1", "b.go", c(1), 1, "upsert", "go", "b" * 5, "s2"),
+        ("r1", "c.rs", c(1), 2, "upsert", "rust", "c" * 3, "s3"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "dve"), group_cols=["tier"],
+        metrics={"n": "1"},
+        extrema={"max_b": ("max", "length(content)")},
+        dim_path=dim_path, dim_on=["lang"])
+    view.refresh()
+    # delete the t1 max holder -> retraction ties the stored extremum ->
+    # group-pruned live rescan, which must see tier via the dim join
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] >= 1
+    got = {row["tier"]: (row["n"], row["max_b"])
+           for row in view.read().collect()}
+    assert got == {"t1": (1, 5), "t2": (1, 3)}
+
+
+def test_dim_config_validation(spark, warehouse, tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "dimb"),
+                         num_buckets=4, merge_mode="cow")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aa", "s1"),
+    ]), epoch=0)
+    with pytest.raises(ValueError, match="together"):
+        IncrementalView(spark, t, str(tmp_path / "x1"), group_cols=["lang"],
+                        metrics={"n": "1"}, dim_path=str(tmp_path / "d"))
+    # duplicate dim keys would multiply fact rows
+    dup = str(tmp_path / "dup")
+    _mk_dim(spark, dup, [("python", "t1"), ("python", "t2")])
+    v = IncrementalView(spark, t, str(tmp_path / "x2"), group_cols=["tier"],
+                        metrics={"n": "1"}, dim_path=dup, dim_on=["lang"])
+    with pytest.raises(ValueError, match="unique"):
+        v.refresh()
+    # non-key dim column shadowing a fact column would bind ambiguously
+    clash = str(tmp_path / "clash")
+    _mk_dim(spark, clash, [("python", "x")],
+            schema="lang string, content string")
+    v2 = IncrementalView(spark, t, str(tmp_path / "x3"),
+                         group_cols=["content"], metrics={"n": "1"},
+                         dim_path=clash, dim_on=["lang"])
+    with pytest.raises(ValueError, match="collide"):
+        v2.refresh()
