@@ -89,6 +89,19 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
     )
     assert ext_view.refresh()["mode"] == "full"
 
+    # distinct twin: exact retractable COUNT DISTINCT via the signed
+    # auxiliary multiset (realistic dashboard shape: low-cardinality
+    # value domains per group; the delta's deletes retract supports and
+    # its inserts add a brand-new lang)
+    dist_view = IncrementalView(
+        spark, lake, os.path.join(scratch, "view_dist"),
+        group_cols=["repo"],
+        metrics={"n_files": "1"},
+        distinct={"n_langs": "lang",
+                  "n_exts": "substring_index(path, '.', -1)"},
+    )
+    assert dist_view.refresh()["mode"] == "full"
+
     # delta: updates on an evenly-spread key subset, 10% deletes, 10% new
     # keys — every change class exercised, deterministic
     n_upd = changes - 2 * (changes // 10)
@@ -144,6 +157,11 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
     ext_incremental_sec = time.monotonic() - t0
     assert r_ext["mode"] == "incremental", r_ext
 
+    t0 = time.monotonic()
+    r_dist = dist_view.refresh()
+    dist_incremental_sec = time.monotonic() - t0
+    assert r_dist["mode"] == "incremental", r_dist
+
     # the naive consumer: full rebuild at the same final version
     naive = IncrementalView(
         spark, lake, os.path.join(scratch, "view_naive"),
@@ -174,6 +192,21 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
     b = {tuple(x) for x in naive_ext.read().collect()}
     assert a == b, "extrema incremental state diverged from full rebuild"
 
+    # distinct equivalence vs a fresh rebuild at the same version
+    naive_dist = IncrementalView(
+        spark, lake, os.path.join(scratch, "view_dist_naive"),
+        group_cols=["repo"],
+        metrics={"n_files": "1"},
+        distinct={"n_langs": "lang",
+                  "n_exts": "substring_index(path, '.', -1)"},
+    )
+    t0 = time.monotonic()
+    assert naive_dist.refresh()["mode"] == "full"
+    dist_full_rebuild_sec = time.monotonic() - t0
+    a = {tuple(x) for x in dist_view.read().collect()}
+    b = {tuple(x) for x in naive_dist.read().collect()}
+    assert a == b, "distinct incremental state diverged from full rebuild"
+
     spark.stop()
     shutil.rmtree(scratch, ignore_errors=True)
     return {
@@ -192,6 +225,10 @@ def run(cpus: int, rows: int, changes: int, buckets: int,
         "ext_recomputed_groups": r_ext.get("ext_recomputed_groups"),
         "ext_speedup_vs_rescan": round(
             ext_full_rebuild_sec / max(ext_incremental_sec, 1e-9), 2),
+        "dist_incremental_refresh_sec": round(dist_incremental_sec, 3),
+        "dist_full_rebuild_sec": round(dist_full_rebuild_sec, 3),
+        "dist_speedup_vs_rescan": round(
+            dist_full_rebuild_sec / max(dist_incremental_sec, 1e-9), 2),
     }
 
 

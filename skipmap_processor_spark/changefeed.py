@@ -497,6 +497,22 @@ class IncrementalView:
     change (group_cols/metrics/extrema differing from the meta) triggers
     a full rebuild rather than a wrong incremental merge.
 
+    ``distinct`` maps output column -> a per-row SQL expression whose
+    COUNT(DISTINCT expr) per group is maintained **exactly** under
+    inserts AND deletes — the textbook auxiliary-state IVM construction
+    (neither signed sums nor extrema rescans can express it). State: a
+    signed multiset ``aux`` table of (group, metric, value) -> support
+    count; feed rows adjust supports (+1 insert/postimage, -1
+    delete/preimage), values whose support reaches 0 vanish, and the
+    distinct count is the number of surviving values per group. Values
+    are compared after ``cast(expr AS string)`` (injective for all
+    primitive types; hex() binary yourself). Nulls are ignored, matching
+    SQL ``COUNT(DISTINCT)``. Cost: refresh shuffles O(changes) delta rows
+    plus a re-agg of the aux table — O(distinct (group, value) pairs),
+    the information-theoretic floor for exact retractable distinct counts
+    (an HLL sketch cannot retract); for high-cardinality expressions
+    prefer an approx metric over the live table instead.
+
     ``dim_path``/``dim_on`` add a **star-schema enrichment**: every row
     source (change-feed rows, full-build scans, extrema recompute scans)
     is left-joined to a broadcast dimension table before grouping, so
@@ -515,6 +531,7 @@ class IncrementalView:
     def __init__(self, spark: SparkSession, lake: LakeTable, path: str,
                  group_cols: list[str], metrics: dict[str, str],
                  extrema: dict[str, tuple[str, str]] | None = None,
+                 distinct: dict[str, str] | None = None,
                  dim_path: str | None = None,
                  dim_on: list[str] | None = None):
         self.spark = spark
@@ -531,6 +548,12 @@ class IncrementalView:
             if name in self.metrics or name.startswith("_"):
                 raise ValueError(f"extrema name {name!r} collides with a "
                                  "metric or reserved (_) column")
+        self.distinct = dict(distinct or {})
+        for name in self.distinct:
+            if (name in self.metrics or name in self.extrema
+                    or name.startswith("_")):
+                raise ValueError(f"distinct name {name!r} collides with a "
+                                 "metric/extremum or reserved (_) column")
         if (dim_path is None) != (dim_on is None):
             raise ValueError("dim_path and dim_on must be given together")
         self.dim_path = dim_path
@@ -613,6 +636,7 @@ class IncrementalView:
         return (meta.get("group_cols") == self.group_cols
                 and meta.get("metrics") == self.metrics
                 and meta.get("extrema", {}) == self._ext_json()
+                and meta.get("distinct", {}) == self.distinct
                 and meta.get("dim_path") == self.dim_path
                 and meta.get("dim_on") == self.dim_on)
 
@@ -624,7 +648,8 @@ class IncrementalView:
             return json.load(f)
 
     def _write_state(self, df: DataFrame, version: int,
-                     dim_fp: str | None = None) -> None:
+                     dim_fp: str | None = None,
+                     aux_name: str | None = None) -> None:
         name = f"state-v{version}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, name))
         tmp = os.path.join(self.path, f"_meta.tmp.{uuid.uuid4().hex}")
@@ -633,12 +658,19 @@ class IncrementalView:
                        "group_cols": self.group_cols,
                        "metrics": self.metrics,
                        "extrema": self._ext_json(),
+                       "distinct": self.distinct,
+                       "aux": aux_name,
                        "dim_path": self.dim_path,
                        "dim_on": self.dim_on,
                        "dim_fp": dim_fp}, f)
         os.replace(tmp, os.path.join(self.path, "_meta.json"))
         for fn in os.listdir(self.path):
             if fn.startswith("state-") and fn != name:
+                shutil.rmtree(os.path.join(self.path, fn),
+                              ignore_errors=True)
+            # a crash between aux write and the meta flip leaves an orphan
+            # aux dir; the next successful refresh GCs it here
+            if fn.startswith("aux-") and fn != aux_name:
                 shutil.rmtree(os.path.join(self.path, fn),
                               ignore_errors=True)
 
@@ -657,6 +689,49 @@ class IncrementalView:
             if sign is not None:
                 col = sign * col
             out.append(F.sum(col).alias(name))
+        return out
+
+    # ------------------------------------------------- distinct (aux state)
+    def _aux_delta(self, rows: DataFrame, sign_col) -> DataFrame:
+        """Signed (group, metric, value) support deltas from a row source.
+        Values compare after cast-to-string (injective for primitive
+        types); nulls are ignored per SQL ``COUNT(DISTINCT)``."""
+        parts = []
+        for n, expr in self.distinct.items():
+            v = F.expr(expr).cast("string")
+            parts.append(
+                rows.filter(v.isNotNull()).select(
+                    *self.group_cols, F.lit(n).alias("_dname"),
+                    v.alias("_dval"), sign_col.alias("_s")))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (u.groupBy(*self.group_cols, "_dname", "_dval")
+                .agg(F.sum("_s").alias("_vc")))
+
+    def _write_aux(self, aux: DataFrame, version: int) -> str:
+        name = f"aux-v{version}-{uuid.uuid4().hex[:8]}"
+        aux.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        return name
+
+    def _join_distinct(self, merged: DataFrame, aux_name: str) -> DataFrame:
+        """Fold per-group distinct counts (surviving aux values) into the
+        state. Null-safe join keys: group columns can be null (unmatched
+        dim rows); a group with only null values has no aux rows and
+        coalesces to 0."""
+        aux = self.spark.read.parquet(os.path.join(self.path, aux_name))
+        d = aux.groupBy(*self.group_cols).agg(*[
+            F.count(F.when(F.col("_dname") == F.lit(n), 1)).alias(n)
+            for n in self.distinct])
+        cond = None
+        for c in self.group_cols:
+            t = merged[c].eqNullSafe(d[c])
+            cond = t if cond is None else (cond & t)
+        out = merged.join(d, cond, "left")
+        for c in self.group_cols:
+            out = out.drop(d[c])
+        for n in self.distinct:
+            out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
         return out
 
     def refresh(self) -> dict:
@@ -699,7 +774,9 @@ class IncrementalView:
             .agg(*self._aggs(sign), F.sum(sign).alias("_cnt"), *ext_delta)
         )
         state = self.read()
-        if self.extrema:
+        if self.extrema or self.distinct:
+            # reselect: extrema re-enter under _ext_ names for the fold;
+            # distinct columns are dropped (recomputed from the aux state)
             state = state.select(
                 *self.group_cols, *self.metrics, "_cnt",
                 *[F.col(n).alias(f"_ext_{n}") for n in self.extrema])
@@ -732,7 +809,19 @@ class IncrementalView:
                 r["reason"] = "ext_recompute_cap"
                 return r
             out["ext_recomputed_groups"] = n_rc
-        self._write_state(merged, latest, dim_fp=dim_fp)
+        aux_name = None
+        if self.distinct:
+            old_aux = self.spark.read.parquet(
+                os.path.join(self.path, meta["aux"]))
+            new_aux = (old_aux.unionByName(self._aux_delta(cf, sign))
+                       .groupBy(*self.group_cols, "_dname", "_dval")
+                       .agg(F.sum("_vc").alias("_vc"))
+                       .filter(F.col("_vc") > 0))
+            # materialize the aux BEFORE the meta flip (crash leaves the
+            # old pointer valid; the orphan dir is GC'd next refresh)
+            aux_name = self._write_aux(new_aux, latest)
+            merged = self._join_distinct(merged, aux_name)
+        self._write_state(merged, latest, dim_fp=dim_fp, aux_name=aux_name)
         return out
 
     def _apply_extrema(self, merged: DataFrame, latest: int):
@@ -776,20 +865,35 @@ class IncrementalView:
             return merged.select(*_resolved(merged, False)), 0
         # group-pruned live rescan for just the retracted groups; when the
         # view groups by repo the scan is additionally file-level pruned
-        # (footer ranges + membership summaries)
-        repos = (sorted({r["repo"] for r in rc})
+        # (footer ranges + membership summaries). Joins are NULL-SAFE on
+        # the group keys: a null-keyed group (null fact value, unmatched
+        # dim row) must still be rescanned, or its retracted extremum
+        # would silently keep the stale folded value.
+        repos = (sorted({r["repo"] for r in rc if r["repo"] is not None})
                  if "repo" in self.group_cols else None)
+        if repos is not None and any(r["repo"] is None for r in rc):
+            repos = None  # a null-repo group needs the unpruned scan
         live = self._enrich(self.lake.read(version=latest, repos=repos))
         kdf = self.spark.createDataFrame(
             rc, merged.select(*self.group_cols).schema)
-        sub = live.join(F.broadcast(kdf), self.group_cols, "left_semi")
+
+        def _nsafe(left, right):
+            cond = None
+            for c in self.group_cols:
+                t = left[c].eqNullSafe(right[c])
+                cond = t if cond is None else cond & t
+            return cond
+
+        sub = live.join(F.broadcast(kdf), _nsafe(live, kdf), "left_semi")
         re_aggs = []
         for n, (kind, expr) in self.extrema.items():
             fn = F.min if kind == "min" else F.max
             re_aggs.append(fn(F.expr(expr)).alias(f"_new_{n}"))
         rec = (sub.groupBy(*self.group_cols).agg(*re_aggs)
                .withColumn("_rc", F.lit(True)))
-        joined = merged.join(F.broadcast(rec), self.group_cols, "left")
+        joined = merged.join(F.broadcast(rec), _nsafe(merged, rec), "left")
+        for c in self.group_cols:
+            joined = joined.drop(rec[c])
         return joined.select(*_resolved(joined, True)), len(rc)
 
     def _full_build(self, latest: int) -> dict:
@@ -798,6 +902,16 @@ class IncrementalView:
         for n, (kind, expr) in self.extrema.items():
             fn = F.min if kind == "min" else F.max
             aggs.append(fn(F.expr(expr)).alias(n))
+        for n, expr in self.distinct.items():
+            # same cast-to-string comparison domain as the aux state, so
+            # full-build counts and incrementally-maintained counts agree
+            aggs.append(
+                F.countDistinct(F.expr(expr).cast("string")).alias(n))
         state = full.groupBy(*self.group_cols).agg(*aggs)
-        self._write_state(state, latest, dim_fp=self._dim_fingerprint())
+        aux_name = None
+        if self.distinct:
+            aux_name = self._write_aux(
+                self._aux_delta(full, F.lit(1)), latest)
+        self._write_state(state, latest, dim_fp=self._dim_fingerprint(),
+                          aux_name=aux_name)
         return {"mode": "full", "version": latest}

@@ -900,3 +900,181 @@ def test_dim_config_validation(spark, warehouse, tmp_path):
                          dim_path=clash, dim_on=["lang"])
     with pytest.raises(ValueError, match="collide"):
         v2.refresh()
+
+
+# -------------------------------------------------- distinct-count views
+
+def _distinct_oracle(t: LakeTable, group: str) -> dict:
+    """COUNT(DISTINCT lang), COUNT(DISTINCT file extension) per group,
+    recomputed from scratch on the live table."""
+    ext = F.substring_index(F.col("path"), ".", -1)
+    return {
+        r[group]: (r["n"], r["n_langs"], r["n_exts"])
+        for r in t.read()
+        .groupBy(group)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("lang").alias("n_langs"),
+             F.countDistinct(ext).alias("n_exts"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_distinct_ivm_matches_oracle_under_churn(spark, warehouse,
+                                                 tmp_path, mode):
+    """Exact COUNT DISTINCT maintenance through inserts, deletes that
+    retract the last occurrence of a value, updates that move a row
+    between values, and null values (ignored per SQL semantics)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, f"dist_{mode}"),
+                         num_buckets=4, merge_mode=mode)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aa", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "python", "bb", "s2"),
+        ("r1", "c.go", c(1), 2, "upsert", "go", "cc", "s3"),
+        ("r2", "d.rs", c(1), 3, "upsert", "rust", "dd", "s4"),
+        ("r2", "e.rs", c(1), 4, "upsert", None, "ee", "s5"),  # null lang
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / f"dv_{mode}"), group_cols=["repo"],
+        metrics={"n": "1"},
+        distinct={"n_langs": "lang",
+                  "n_exts": "substring_index(path, '.', -1)"})
+    assert view.refresh()["mode"] == "full"
+    assert ({r["repo"]: (r["n"], r["n_langs"], r["n_exts"])
+             for r in view.read().collect()}
+            == _distinct_oracle(t, "repo"))
+
+    # churn 1: delete the ONLY go row (n_langs must drop), add a new ext
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "c.go", c(2), 0, "delete", None, None, None),
+        ("r1", "f.md", c(2), 1, "upsert", "md", "ff", "s6"),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert ({r2["repo"]: (r2["n"], r2["n_langs"], r2["n_exts"])
+             for r2 in view.read().collect()}
+            == _distinct_oracle(t, "repo"))
+
+    # churn 2: update moves a row python->go (python still supported by
+    # a.py), then delete a.py too (python support hits zero); null lang
+    # row gains a lang (null was never counted)
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "b.py", c(3), 0, "upsert", "go", "bb2", "s7"),
+        ("r1", "a.py", c(3), 1, "delete", None, None, None),
+        ("r2", "e.rs", c(3), 2, "upsert", "zig", "ee2", "s8"),
+    ]), epoch=2)
+    assert view.refresh()["mode"] == "incremental"
+    assert ({r2["repo"]: (r2["n"], r2["n_langs"], r2["n_exts"])
+             for r2 in view.read().collect()}
+            == _distinct_oracle(t, "repo"))
+
+    # churn 3: a resolved rename (delete + insert pair, the shape the
+    # stream layer hands merge_batch) — ext moves .rs -> .py within r2
+    t.merge_batch(_mk_actions(spark, [
+        ("r2", "d.rs", c(4), 0, "delete", None, None, None),
+        ("r2", "d2.py", c(4), 1, "upsert", "rust", "dd", "s9"),
+    ]), epoch=3)
+    assert view.refresh()["mode"] == "incremental"
+    assert ({r2["repo"]: (r2["n"], r2["n_langs"], r2["n_exts"])
+             for r2 in view.read().collect()}
+            == _distinct_oracle(t, "repo"))
+    # exactly one aux dir retained
+    auxes = [fn for fn in os.listdir(str(tmp_path / f"dv_{mode}"))
+             if fn.startswith("aux-")]
+    assert len(auxes) == 1
+
+
+def test_distinct_config_change_forces_rebuild(spark, warehouse, tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "distcfg"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aa", "s1"),
+    ]), epoch=0)
+    p = str(tmp_path / "v")
+    IncrementalView(spark, t, p, group_cols=["repo"],
+                    metrics={"n": "1"}).refresh()
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "b.go", c(2), 0, "upsert", "go", "bb", "s2"),
+    ]), epoch=1)
+    v2 = IncrementalView(spark, t, p, group_cols=["repo"],
+                         metrics={"n": "1"}, distinct={"n_langs": "lang"})
+    r = v2.refresh()
+    assert r["mode"] == "full" and r["reason"] == "config_changed"
+    got = {row["repo"]: (row["n"], row["n_langs"])
+           for row in v2.read().collect()}
+    assert got == {"r1": (2, 2)}
+    # name collision with a metric is rejected up front
+    with pytest.raises(ValueError, match="collides"):
+        IncrementalView(spark, t, str(tmp_path / "x"), group_cols=["repo"],
+                        metrics={"n": "1"}, distinct={"n": "lang"})
+
+
+def test_distinct_over_dim_attribute(spark, warehouse, tmp_path):
+    """distinct may reference a dimension attribute (enrichment happens
+    before the aux delta); unmatched fact rows land in the null group
+    whose distinct counts still maintain exactly."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "distdim"),
+                         num_buckets=4, merge_mode="mor")
+    dim_path = str(tmp_path / "dim")
+    _mk_dim(spark, dim_path, [("python", "scripting"), ("go", "compiled"),
+                              ("rust", "compiled")])
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aa", "s1"),
+        ("r1", "b.go", c(1), 1, "upsert", "go", "bb", "s2"),
+        ("r2", "c.rs", c(1), 2, "upsert", "rust", "cc", "s3"),
+        ("r2", "d.sh", c(1), 3, "upsert", "shell", "dd", "s4"),  # null tier
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "v"), group_cols=["repo"],
+        metrics={"n": "1"}, distinct={"n_tiers": "tier"},
+        dim_path=dim_path, dim_on=["lang"])
+    view.refresh()
+
+    def oracle():
+        dim = spark.read.parquet(dim_path)
+        return {r["repo"]: (r["n"], r["n_tiers"])
+                for r in t.read().join(dim, "lang", "left").groupBy("repo")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("tier").alias("n_tiers")).collect()}
+
+    got = {r["repo"]: (r["n"], r["n_tiers"]) for r in view.read().collect()}
+    assert got == oracle()
+    assert got["r2"] == (2, 1)  # shell has no tier -> not counted
+    # delete r1's go row: compiled retracts from r1
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "b.go", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    assert view.refresh()["mode"] == "incremental"
+    got = {r["repo"]: (r["n"], r["n_tiers"]) for r in view.read().collect()}
+    assert got == oracle()
+    assert got["r1"] == (1, 1)
+
+
+def test_extrema_retraction_in_null_keyed_group(spark, warehouse, tmp_path):
+    """A null group key (here: null lang) must still be rescanned when its
+    extremum retracts — equality joins would silently keep the stale
+    folded value (null never equals null); the recompute path joins
+    null-safe."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "nullg"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a", c(1), 0, "upsert", None, "x" * 9, "s1"),  # null lang max
+        ("r1", "b", c(1), 1, "upsert", None, "x" * 4, "s2"),
+        ("r1", "c", c(1), 2, "upsert", "go", "x" * 7, "s3"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "v"), group_cols=["lang"],
+        metrics={"n": "1"},
+        extrema={"max_b": ("max", "length(content)")})
+    view.refresh()
+    # delete the null-group's max holder -> retraction must rescan the
+    # null group and shrink max_b 9 -> 4
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] >= 1
+    got = {row["lang"]: (row["n"], row["max_b"])
+           for row in view.read().collect()}
+    assert got == {None: (1, 4), "go": (1, 7)}
