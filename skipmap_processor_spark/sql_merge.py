@@ -237,3 +237,132 @@ def execute_update(
     return lake.update_where(m.group("where"),
                              _split_assignments(m.group("sets")),
                              epoch=epoch)
+
+
+# ------------------------------------------- CREATE MATERIALIZED VIEW SQL
+
+_CMV_RE = re.compile(
+    r"^CREATE MATERIALIZED VIEW (?P<name>\w+) AS SELECT (?P<select>.+?) "
+    r"FROM (?P<target>[\w.:/\-]+) GROUP BY (?P<group>.+)$",
+    re.IGNORECASE,
+)
+
+_AGG_RE = re.compile(
+    r"^(?P<fn>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<distinct>DISTINCT\s+)?"
+    r"(?P<arg>.+?)\s*\)\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (commas inside parens or single-quoted
+    strings belong to the expression)."""
+    parts, depth, in_str, buf = [], 0, False, []
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def create_materialized_view(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LakeTable],
+    views_root: str,
+    dim_path: str | None = None,
+    dim_on: list[str] | None = None,
+):
+    """``CREATE MATERIALIZED VIEW <name> AS SELECT <group cols + aggs>
+    FROM <tbl> GROUP BY <cols>`` -> an ``IncrementalView`` rooted at
+    ``{views_root}/{name}`` (caller drives ``refresh()``).
+
+    Supported aggregates — exactly the incrementally-maintainable set:
+
+    - ``COUNT(*) AS a`` / ``COUNT(expr) AS a``  (signed; non-null count)
+    - ``SUM(expr) AS a``                        (signed)
+    - ``MIN(expr) / MAX(expr) AS a``            (fold + bounded recompute)
+    - ``COUNT(DISTINCT expr) AS a``             (signed aux multiset)
+
+    Anything else (AVG, percentiles, window functions, HAVING, ORDER BY)
+    raises with the supported shape — a view the engine cannot maintain
+    exactly must not be silently accepted and then refreshed wrongly.
+    Every aggregate requires an ``AS`` alias (the state schema is the
+    user's contract); bare select items must be GROUP BY columns.
+    ``dim_path``/``dim_on`` pass through to the star-join enrichment.
+    """
+    from skipmap_processor_spark.changefeed import IncrementalView
+
+    m = _CMV_RE.match(_norm(sql))
+    if not m:
+        raise ValueError(
+            "unsupported CREATE MATERIALIZED VIEW shape; expected: CREATE "
+            "MATERIALIZED VIEW <name> AS SELECT <group cols>, <agg AS "
+            "alias>[, ...] FROM <tbl> GROUP BY <cols>")
+    lake = _resolve_target(m.group("target"), tables)
+    group_cols = [c.strip() for c in _split_top(m.group("group"))]
+    for c in group_cols:
+        if not re.fullmatch(r"\w+", c):
+            raise ValueError(
+                f"unsupported GROUP BY term {c!r}: group keys must be "
+                "plain columns (alias expressions in the fact table or a "
+                "dimension instead)")
+    metrics: dict[str, str] = {}
+    extrema: dict[str, tuple[str, str]] = {}
+    distinct: dict[str, str] = {}
+    seen_group: list[str] = []
+    for item in _split_top(m.group("select")):
+        if re.fullmatch(r"\w+", item):
+            if item not in group_cols:
+                raise ValueError(
+                    f"bare select column {item!r} is not in GROUP BY")
+            seen_group.append(item)
+            continue
+        am = _AGG_RE.match(item)
+        if not am:
+            raise ValueError(
+                f"unsupported select item {item!r}; supported aggregates: "
+                "COUNT(*|expr|DISTINCT expr), SUM(expr), MIN(expr), "
+                "MAX(expr) — each AS <alias> (AVG and friends are not "
+                "exactly maintainable; derive them from SUM/COUNT on read)")
+        fn = am.group("fn").upper()
+        arg, alias = am.group("arg").strip(), am.group("alias")
+        if am.group("distinct"):
+            if fn != "COUNT":
+                raise ValueError(f"DISTINCT is only supported under COUNT "
+                                 f"(got {fn} in {item!r})")
+            distinct[alias] = arg
+        elif fn == "COUNT":
+            metrics[alias] = ("1" if arg == "*"
+                              else f"IF(({arg}) IS NOT NULL, 1, 0)")
+        elif fn == "SUM":
+            metrics[alias] = arg
+        else:
+            extrema[alias] = (fn.lower(), arg)
+    if set(seen_group) != set(group_cols):
+        missing = sorted(set(group_cols) - set(seen_group))
+        raise ValueError(f"GROUP BY columns missing from SELECT: {missing}")
+    if not (metrics or extrema or distinct):
+        raise ValueError("the view has no aggregates — nothing to maintain")
+    import os
+
+    return IncrementalView(
+        spark, lake, os.path.join(views_root, m.group("name")),
+        group_cols=group_cols, metrics=metrics,
+        extrema=extrema or None, distinct=distinct or None,
+        dim_path=dim_path, dim_on=dim_on)

@@ -128,3 +128,99 @@ def test_merge_into_rejects_foreign_semantics(spark, warehouse):
         execute_merge_into(
             spark, base.format(on="t.repo = s.repo AND t.path = s.path"),
             {"other": t})
+
+
+# --------------------------------------------- CREATE MATERIALIZED VIEW SQL
+
+def test_create_materialized_view_sql_maintains(spark, warehouse, tmp_path):
+    """The SQL view declaration maps onto IncrementalView's full
+    maintainable-aggregate set and refreshes incrementally, matching a
+    from-scratch Spark aggregation oracle (COUNT(expr) non-null
+    semantics included via a null lang row)."""
+    from pyspark.sql import functions as F
+
+    from skipmap_processor_spark.sql_merge import create_materialized_view
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "cmv"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aaaa", "s1"),
+        ("r1", "b.go", c(1), 1, "upsert", "go", "bb", "s2"),
+        ("r1", "c.sh", c(1), 2, "upsert", None, "cccccc", "s3"),
+        ("r2", "d.rs", c(1), 3, "upsert", "rust", "dd", "s4"),
+    ]), epoch=0)
+    view = create_materialized_view(
+        spark,
+        """CREATE MATERIALIZED VIEW repo_stats AS
+           SELECT repo, COUNT(*) AS n, COUNT(lang) AS n_langed,
+                  SUM(length(content)) AS b, MAX(length(content)) AS mx,
+                  COUNT(DISTINCT lang) AS nl
+           FROM code GROUP BY repo""",
+        tables={"code": t}, views_root=str(tmp_path))
+    assert view.refresh()["mode"] == "full"
+
+    def oracle():
+        return {
+            r["repo"]: (r["n"], r["n_langed"], r["b"], r["mx"], r["nl"])
+            for r in t.read().groupBy("repo").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("lang").alias("n_langed"),
+                F.sum(F.length("content")).alias("b"),
+                F.max(F.length("content")).alias("mx"),
+                F.countDistinct("lang").alias("nl")).collect()
+        }
+
+    def got():
+        return {r["repo"]: (r["n"], r["n_langed"], r["b"], r["mx"], r["nl"])
+                for r in view.read().collect()}
+
+    assert got() == oracle()
+    # churn: delete the max holder + the only go row, null->real lang
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "c.sh", c(2), 0, "upsert", "shell", "c", "s5"),
+        ("r1", "b.go", c(2), 1, "delete", None, None, None),
+    ]), epoch=1)
+    assert view.refresh()["mode"] == "incremental"
+    assert got() == oracle()
+    # state lives under views_root/<name>
+    assert os.path.isdir(os.path.join(str(tmp_path), "repo_stats"))
+
+
+def test_create_materialized_view_sql_rejects_unmaintainable(
+        spark, warehouse, tmp_path):
+    from skipmap_processor_spark.sql_merge import create_materialized_view
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "cmvr"),
+                         num_buckets=4)
+    tb = {"code": t}
+    root = str(tmp_path)
+    with pytest.raises(ValueError, match="AVG"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT repo, "
+            "AVG(length(content)) AS a FROM code GROUP BY repo",
+            tables=tb, views_root=root)
+    with pytest.raises(ValueError, match="not in GROUP BY"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT lang, "
+            "COUNT(*) AS n FROM code GROUP BY repo",
+            tables=tb, views_root=root)
+    with pytest.raises(ValueError, match="missing from SELECT"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT COUNT(*) AS n "
+            "FROM code GROUP BY repo",
+            tables=tb, views_root=root)
+    with pytest.raises(ValueError, match="DISTINCT is only"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT repo, "
+            "SUM(DISTINCT length(content)) AS s FROM code GROUP BY repo",
+            tables=tb, views_root=root)
+    with pytest.raises(ValueError, match="alias|supported select item"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT repo, COUNT(*) "
+            "FROM code GROUP BY repo",
+            tables=tb, views_root=root)
+    with pytest.raises(ValueError, match="unknown target"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT repo, COUNT(*) "
+            "AS n FROM nope GROUP BY repo",
+            tables=tb, views_root=root)
