@@ -387,6 +387,7 @@ def main() -> None:
         qsecs["ivm_incremental_refresh_4m"] = ivm["incremental_refresh_sec"]
         qsecs["ivm_full_rebuild_4m"] = ivm["full_rebuild_sec"]
         qsecs["ivm_extrema_refresh_4m"] = ivm["ext_incremental_refresh_sec"]
+        qsecs["ivm_distinct_refresh_4m"] = ivm["dist_incremental_refresh_sec"]
     except Exception as e:
         errors["ivm"] = f"{type(e).__name__}: {e}"[:300]
 

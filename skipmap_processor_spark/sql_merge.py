@@ -366,3 +366,59 @@ def create_materialized_view(
         group_cols=group_cols, metrics=metrics,
         extrema=extrema or None, distinct=distinct or None,
         dim_path=dim_path, dim_on=dim_on)
+
+
+# --------------------------------------------------- ALTER TABLE DDL SQL
+
+_DDL_RES = [
+    ("add", re.compile(
+        r"^ALTER TABLE (?P<target>[\w.:/\-]+) ADD COLUMN (?P<col>\w+)"
+        r"(?: (?P<type>\w+))?$", re.IGNORECASE)),
+    ("rename", re.compile(
+        r"^ALTER TABLE (?P<target>[\w.:/\-]+) RENAME COLUMN (?P<col>\w+) "
+        r"TO (?P<to>\w+)$", re.IGNORECASE)),
+    ("drop", re.compile(
+        r"^ALTER TABLE (?P<target>[\w.:/\-]+) DROP COLUMN (?P<col>\w+)$",
+        re.IGNORECASE)),
+    ("widen", re.compile(
+        r"^ALTER TABLE (?P<target>[\w.:/\-]+) ALTER COLUMN (?P<col>\w+) "
+        r"TYPE (?P<type>\w+)$", re.IGNORECASE)),
+]
+
+
+def execute_alter_table(
+    sql: str,
+    tables: dict[str, LakeTable] | None = None,
+) -> dict:
+    """ALTER TABLE DDL onto the lake's metadata-only schema evolution:
+
+    - ``ADD COLUMN <name> [<type>]``       -> ``add_column`` (default string)
+    - ``RENAME COLUMN <a> TO <b>``         -> ``rename_column`` (by field id)
+    - ``DROP COLUMN <name>``               -> ``drop_column``
+    - ``ALTER COLUMN <name> TYPE <type>``  -> ``widen_column`` (lossless
+      promotions only; narrowing raises there)
+
+    All four are metadata-only commits via the optimistic rebase loop;
+    the returned dict carries ``applied`` (False = no-op, e.g. the column
+    already exists) and the action echo.
+    """
+    text = _norm(sql)
+    for action, rx in _DDL_RES:
+        m = rx.match(text)
+        if not m:
+            continue
+        lake = _resolve_target(m.group("target"), tables)
+        col = m.group("col")
+        if action == "add":
+            applied = lake.add_column(col, m.group("type") or "string")
+        elif action == "rename":
+            applied = lake.rename_column(col, m.group("to"))
+        elif action == "drop":
+            applied = lake.drop_column(col)
+        else:
+            applied = lake.widen_column(col, m.group("type"))
+        return {"action": action, "column": col, "applied": bool(applied)}
+    raise ValueError(
+        "unsupported ALTER TABLE shape; expected one of: ADD COLUMN <name> "
+        "[<type>] | RENAME COLUMN <a> TO <b> | DROP COLUMN <name> | ALTER "
+        "COLUMN <name> TYPE <type>")

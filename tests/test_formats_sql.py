@@ -224,3 +224,45 @@ def test_create_materialized_view_sql_rejects_unmaintainable(
             spark, "CREATE MATERIALIZED VIEW v AS SELECT repo, COUNT(*) "
             "AS n FROM nope GROUP BY repo",
             tables=tb, views_root=root)
+
+
+# --------------------------------------------------- ALTER TABLE DDL SQL
+
+def test_alter_table_ddl_sql(spark, warehouse):
+    """All four DDL shapes dispatch to the metadata-only evolution APIs;
+    data written before a rename stays readable under the new name (field
+    id rebind) and widen rejects narrowing."""
+    from skipmap_processor_spark.sql_merge import execute_alter_table
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "ddl"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aa", "s1"),
+    ]), epoch=0)
+    tb = {"code": t}
+
+    r = execute_alter_table(
+        "ALTER TABLE code ADD COLUMN stars bigint", tables=tb)
+    assert r == {"action": "add", "column": "stars", "applied": True}
+    # idempotent: second add is a no-op
+    assert not execute_alter_table(
+        "ALTER TABLE code ADD COLUMN stars bigint", tables=tb)["applied"]
+    assert execute_alter_table(
+        "ALTER TABLE code RENAME COLUMN lang TO language",
+        tables=tb)["applied"]
+    assert t.read().select("language").collect()[0][0] == "python"
+    assert execute_alter_table(
+        "ALTER TABLE code DROP COLUMN stars", tables=tb)["applied"]
+    assert "stars" not in t.read().columns
+    with pytest.raises(ValueError, match="engine column"):
+        execute_alter_table("ALTER TABLE code DROP COLUMN repo", tables=tb)
+    # widen path: add an int col then promote to bigint; narrowing raises
+    execute_alter_table("ALTER TABLE code ADD COLUMN forks int", tables=tb)
+    assert execute_alter_table(
+        "ALTER TABLE code ALTER COLUMN forks TYPE bigint",
+        tables=tb)["applied"]
+    with pytest.raises(ValueError, match="non-widening"):
+        execute_alter_table("ALTER TABLE code ALTER COLUMN forks TYPE int",
+                            tables=tb)
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        execute_alter_table("ALTER TABLE code SET TBLPROPERTIES x", tables=tb)
