@@ -109,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         if not args.statement:
             ap.error("sql requires a statement argument")
         from skipmap_processor_spark.sql_merge import (
+            execute_alter_table,
             execute_delete_from,
             execute_merge_into,
             execute_update,
@@ -125,9 +126,13 @@ def main(argv: list[str] | None = None) -> int:
         elif head == "MERGE":
             _json(execute_merge_into(spark, args.statement, tables,
                                      epoch=args.epoch))
+        elif head == "ALTER":
+            _json(execute_alter_table(args.statement, tables))
         else:
             ap.error(f"unsupported statement {head!r}: expected DELETE/"
-                     "UPDATE/MERGE (reads go through the DataFrame API)")
+                     "UPDATE/MERGE/ALTER (reads go through the DataFrame "
+                     "API; CREATE MATERIALIZED VIEW needs a views root — "
+                     "use sql_merge.create_materialized_view)")
         return 0
     raise AssertionError("unreachable")
 

@@ -99,6 +99,13 @@ def test_sql_dml_routes(lake_path, spark, capsys):
     rows = t.read().select("path", "lang").collect()
     assert all((r.lang == "rs") == (r.path == "f1.py") for r in rows)
 
+    rc, r = _run(capsys, [
+        "sql", "--lake", lake_path,
+        "ALTER TABLE lake ADD COLUMN stars bigint"])
+    assert rc == 0 and r == {"action": "add", "column": "stars",
+                             "applied": True}
+    assert "stars" in LakeTable.load(spark, lake_path).read().columns
+
     with pytest.raises(SystemExit):
         admin.main(["sql", "--lake", lake_path, "SELECT 1"])
     capsys.readouterr()
