@@ -1078,3 +1078,60 @@ def test_extrema_retraction_in_null_keyed_group(spark, warehouse, tmp_path):
     got = {row["lang"]: (row["n"], row["max_b"])
            for row in view.read().collect()}
     assert got == {None: (1, 4), "go": (1, 7)}
+
+
+def test_view_maintained_continuously_during_stream(spark, tmp_path):
+    """Close the loop CDC-in -> lake -> incrementally-maintained view: a
+    run_stream on_batch hook refreshes a view carrying all three
+    maintenance families (signed metrics, extrema, distinct) after every
+    epoch; each refresh must match a from-scratch aggregation of the lake
+    at that instant, and steady-state refreshes must be incremental."""
+    from skipmap_processor_spark.sources.events import (
+        base_spark_schema,
+        generate_full,
+        write_event_log,
+    )
+    from skipmap_processor_spark.streaming.pipeline import (
+        bootstrap_base,
+        run_stream,
+    )
+
+    base, ev, ddl = generate_full(n_repos=8, n_base_paths=60, n_events=400,
+                                  n_epochs=4)
+    events_dir = str(tmp_path / "events")
+    write_event_log(events_dir, ev, ddl)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), num_buckets=8,
+                            merge_mode="mor")
+    bootstrap_base(
+        lake, spark.createDataFrame(base, schema=base_spark_schema()))
+    # the fixture's DDL renames lang -> language mid-stream; a view must
+    # reference rename-stable columns (an expression naming a renamed
+    # column would bind on only one side of the rename epoch)
+    view = IncrementalView(
+        spark, lake, str(tmp_path / "view"), group_cols=["repo"],
+        metrics={"n": "1", "b": "length(content)"},
+        extrema={"mx": ("max", "length(content)")},
+        distinct={"ne": "substring_index(path, '.', -1)"})
+    assert view.refresh()["mode"] == "full"
+
+    checks: list[tuple[int, str, bool]] = []
+
+    def on_batch(stats):
+        r = view.refresh()
+        got = {row["repo"]: (row["n"], row["b"], row["mx"], row["ne"])
+               for row in view.read().collect()}
+        ext = F.substring_index(F.col("path"), ".", -1)
+        want = {row["repo"]: (row["n"], row["b"], row["mx"], row["ne"])
+                for row in lake.read().groupBy("repo").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("content")).alias("b"),
+                    F.max(F.length("content")).alias("mx"),
+                    F.countDistinct(ext).alias("ne")).collect()}
+        checks.append((stats.get("epoch"), r["mode"], got == want))
+
+    run_stream(spark, lake, events_dir, str(tmp_path / "ckpt"),
+               available_now=True, on_batch=on_batch).awaitTermination()
+    assert len(checks) >= 4
+    bad = [c for c in checks if not c[2]]
+    assert not bad, f"view diverged from oracle at epochs {bad}"
+    assert any(m == "incremental" for _, m, _ in checks)
