@@ -554,6 +554,12 @@ class IncrementalView:
                     or name.startswith("_")):
                 raise ValueError(f"distinct name {name!r} collides with a "
                                  "metric/extremum or reserved (_) column")
+        clash = [n for n in (set(self.metrics) | set(self.extrema)
+                             | set(self.distinct)) if n in self.group_cols]
+        if clash:
+            raise ValueError(
+                f"aggregate output name(s) {sorted(clash)} collide with "
+                "group columns — the state would carry duplicate columns")
         if (dim_path is None) != (dim_on is None):
             raise ValueError("dim_path and dim_on must be given together")
         self.dim_path = dim_path
@@ -581,8 +587,7 @@ class IncrementalView:
         return fp
 
     def _walk_fp(self, h) -> str:
-        for root, dirs, files in sorted(os.walk(self.dim_path)):
-            dirs.sort()
+        for root, _dirs, files in sorted(os.walk(self.dim_path)):
             for fn in sorted(files):
                 if fn.startswith(("_", ".")):
                     continue
@@ -683,12 +688,18 @@ class IncrementalView:
 
     # ----------------------------------------------------------- refresh
     def _aggs(self, sign=None):
+        """Signed-sum metric aggregates. The engine's SUM carries a ZERO
+        identity: a surviving group whose non-null metric values have all
+        been retracted (or that never had any) reports 0, not ANSI SUM's
+        NULL — the signed fold cannot distinguish "retracted to zero" from
+        "all null", so both paths (full build and incremental merge) pin
+        the same convention; ``COUNT(expr)`` distinguishes the cases."""
         out = []
         for name, expr in self.metrics.items():
             col = F.expr(expr)
             if sign is not None:
                 col = sign * col
-            out.append(F.sum(col).alias(name))
+            out.append(F.coalesce(F.sum(col), F.lit(0)).alias(name))
         return out
 
     # ------------------------------------------------- distinct (aux state)
@@ -743,24 +754,24 @@ class IncrementalView:
         meta = self._meta()
         dim_fp = self._dim_fingerprint()
         if meta is not None and not self._config_matches(meta):
-            r = self._full_build(latest)
+            r = self._full_build(latest, dim_fp)
             r["reason"] = "config_changed"
             return r
         if meta is not None and meta.get("dim_fp") != dim_fp:
             # a rewritten dimension can silently re-map every group —
             # no incremental merge against the old enrichment is sound
-            r = self._full_build(latest)
+            r = self._full_build(latest, dim_fp)
             r["reason"] = "dim_changed"
             return r
         if meta is not None and meta["version"] == latest:
             return {"mode": "noop", "version": latest}
         if meta is None:
-            return self._full_build(latest)
+            return self._full_build(latest, dim_fp)
         try:
             cf = self._enrich(table_changes(self.lake, meta["version"],
                                             latest))
         except VersionExpired:
-            return self._full_build(latest)
+            return self._full_build(latest, dim_fp)
         is_add = F.col("_change_type").isin("insert", "update_postimage")
         sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
         ext_delta = []
@@ -787,7 +798,8 @@ class IncrementalView:
         # allowMissingColumns fills the state side's _rem_* with nulls,
         # which min/max skip.
         merge_aggs = (
-            [F.sum(F.col(n)).alias(n) for n in self.metrics]
+            [F.coalesce(F.sum(F.col(n)), F.lit(0)).alias(n)
+             for n in self.metrics]
             + [F.sum("_cnt").alias("_cnt")]
         )
         for n, (kind, _) in self.extrema.items():
@@ -805,7 +817,7 @@ class IncrementalView:
         if self.extrema:
             merged, n_rc = self._apply_extrema(merged, latest)
             if merged is None:
-                r = self._full_build(latest)
+                r = self._full_build(latest, dim_fp)
                 r["reason"] = "ext_recompute_cap"
                 return r
             out["ext_recomputed_groups"] = n_rc
@@ -896,7 +908,8 @@ class IncrementalView:
             joined = joined.drop(rec[c])
         return joined.select(*_resolved(joined, True)), len(rc)
 
-    def _full_build(self, latest: int) -> dict:
+    def _full_build(self, latest: int,
+                    dim_fp: str | None = None) -> dict:
         full = self._enrich(self.lake.read(version=latest))
         aggs = self._aggs() + [F.count(F.lit(1)).alias("_cnt")]
         for n, (kind, expr) in self.extrema.items():
@@ -912,6 +925,7 @@ class IncrementalView:
         if self.distinct:
             aux_name = self._write_aux(
                 self._aux_delta(full, F.lit(1)), latest)
-        self._write_state(state, latest, dim_fp=self._dim_fingerprint(),
-                          aux_name=aux_name)
+        if dim_fp is None:
+            dim_fp = self._dim_fingerprint()
+        self._write_state(state, latest, dim_fp=dim_fp, aux_name=aux_name)
         return {"mode": "full", "version": latest}

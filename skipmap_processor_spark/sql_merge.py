@@ -166,26 +166,7 @@ def _resolve_target(target: str, tables: dict[str, LakeTable] | None):
 def _split_assignments(sets: str) -> dict[str, str]:
     """Split ``a = expr, b = expr`` on top-level commas only (commas inside
     parens or single-quoted strings belong to the expression)."""
-    parts, depth, in_str, buf = [], 0, False, []
-    for ch in sets:
-        if in_str:
-            buf.append(ch)
-            if ch == "'":
-                in_str = False
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    if buf:
-        parts.append("".join(buf))
+    parts = _split_top(sets)
     out: dict[str, str] = {}
     for part in parts:
         m = re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", part, re.DOTALL)
@@ -295,7 +276,10 @@ def create_materialized_view(
     Supported aggregates — exactly the incrementally-maintainable set:
 
     - ``COUNT(*) AS a`` / ``COUNT(expr) AS a``  (signed; non-null count)
-    - ``SUM(expr) AS a``                        (signed)
+    - ``SUM(expr) AS a``                        (signed; ZERO identity —
+      a surviving group whose non-null values were all retracted reports
+      0 where ANSI SUM reports NULL; pair with COUNT(expr) to tell the
+      cases apart)
     - ``MIN(expr) / MAX(expr) AS a``            (fold + bounded recompute)
     - ``COUNT(DISTINCT expr) AS a``             (signed aux multiset)
 
@@ -342,6 +326,15 @@ def create_materialized_view(
                 "exactly maintainable; derive them from SUM/COUNT on read)")
         fn = am.group("fn").upper()
         arg, alias = am.group("arg").strip(), am.group("alias")
+        if alias in metrics or alias in extrema or alias in distinct:
+            raise ValueError(
+                f"duplicate alias {alias!r}: each aggregate needs a "
+                "distinct output name (a repeated alias would silently "
+                "drop the earlier aggregate)")
+        if alias in group_cols:
+            raise ValueError(
+                f"alias {alias!r} shadows a GROUP BY column — the state "
+                "would carry duplicate columns")
         if am.group("distinct"):
             if fn != "COUNT":
                 raise ValueError(f"DISTINCT is only supported under COUNT "

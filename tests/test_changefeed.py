@@ -1135,3 +1135,49 @@ def test_view_maintained_continuously_during_stream(spark, tmp_path):
     bad = [c for c in checks if not c[2]]
     assert not bad, f"view diverged from oracle at epochs {bad}"
     assert any(m == "incremental" for _, m, _ in checks)
+
+
+def test_sum_zero_identity_on_full_retraction(spark, warehouse, tmp_path):
+    """The engine's SUM carries a zero identity in BOTH paths: a group
+    whose non-null metric values were all retracted reports 0 (never a
+    0-vs-NULL divergence between incremental state and a fresh rebuild —
+    the code-review finding this test pins)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "sumz"),
+                         num_buckets=4, merge_mode="mor")
+    # b sums length(lang): one non-null contributor + one null
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aa", "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", None, "bb", "s2"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "v"), group_cols=["repo"],
+        metrics={"n": "1", "b": "length(lang)"})
+    view.refresh()
+    assert {(r["repo"], r["n"], r["b"]) for r in view.read().collect()} \
+        == {("r1", 2, 6)}
+    # retract the only non-null contributor; the group survives via b.py
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    assert view.refresh()["mode"] == "incremental"
+    got = {(r["repo"], r["n"], r["b"]) for r in view.read().collect()}
+    assert got == {("r1", 1, 0)}
+    # a from-scratch rebuild agrees (same zero identity, no divergence)
+    twin = IncrementalView(
+        spark, t, str(tmp_path / "v2"), group_cols=["repo"],
+        metrics={"n": "1", "b": "length(lang)"})
+    twin.refresh()
+    assert {(r["repo"], r["n"], r["b"]) for r in twin.read().collect()} \
+        == got
+
+
+def test_output_name_group_col_collision_rejected(spark, warehouse,
+                                                  tmp_path):
+    t = LakeTable.create(spark, os.path.join(warehouse, "clash"),
+                         num_buckets=4)
+    for kw in ({"metrics": {"repo": "1"}},
+               {"metrics": {"n": "1"}, "extrema": {"repo": ("max", "1")}},
+               {"metrics": {"n": "1"}, "distinct": {"repo": "lang"}}):
+        with pytest.raises(ValueError, match="collide"):
+            IncrementalView(spark, t, str(tmp_path / "x"),
+                            group_cols=["repo"], **kw)

@@ -266,3 +266,22 @@ def test_alter_table_ddl_sql(spark, warehouse):
                             tables=tb)
     with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
         execute_alter_table("ALTER TABLE code SET TBLPROPERTIES x", tables=tb)
+
+
+def test_create_materialized_view_rejects_alias_collisions(
+        spark, warehouse, tmp_path):
+    from skipmap_processor_spark.sql_merge import create_materialized_view
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "cmva"),
+                         num_buckets=4)
+    tb, root = {"code": t}, str(tmp_path)
+    with pytest.raises(ValueError, match="duplicate alias"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT repo, COUNT(*) "
+            "AS n, SUM(length(content)) AS n FROM code GROUP BY repo",
+            tables=tb, views_root=root)
+    with pytest.raises(ValueError, match="shadows"):
+        create_materialized_view(
+            spark, "CREATE MATERIALIZED VIEW v AS SELECT repo, COUNT(*) "
+            "AS repo FROM code GROUP BY repo",
+            tables=tb, views_root=root)
