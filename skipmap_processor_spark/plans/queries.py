@@ -1296,15 +1296,68 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
     )
     k = base.withColumn("blk", blk).withColumn("nrm", nrm)
-    a = k.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "blk",
+
+    # Lossless band prefilter on top of the 4-bit sign block: the 16-block
+    # self-join alone is ~N^2/32 candidate pairs, each paying a 64-element
+    # fold (the r5 scale-killer: 283 s at sf1.0). A qualifying pair needs
+    # round(cos, 5) >= 0.999, i.e. cos >= 0.998995, so the normalized
+    # vectors satisfy ||ua - ub|| = sqrt(2 - 2*cos) <= 0.04483 and by
+    # Cauchy-Schwarz |ua_i - ub_i| <= 0.04483 < W on EVERY coordinate.
+    # Bucketing floor(u_i / W) on a few coordinates and probing the +-1
+    # neighbor buckets therefore keeps every pair the blk join would have
+    # passed to the cosine filter; non-qualifying candidates are re-checked
+    # by the exact cosine below, so the result set is unchanged (guide
+    # S2.3 "shuffle fewer bytes" / S3.2 prefilter-before-join). Coords
+    # 5..8 are used so the filter is independent of blk's sign bits 1..4
+    # (fixture vectors are uniform 64-dim); coalesce keeps a NULL
+    # element_at from poisoning the join key.
+    W = 0.045
+    band = [5, 6, 7, 8]
+    bkt = [
+        F.floor(
+            F.coalesce(F.element_at("v", i), F.lit(0.0))
+            / (F.col("nrm") * F.lit(W))
+        ).alias(f"_k{j}")
+        for j, i in enumerate(band)
+    ]
+    from itertools import product as _product
+
+    offs = F.array(*[
+        F.array(*[F.lit(int(o)) for o in combo])
+        for combo in _product((-1, 0, 1), repeat=len(band))
+    ])
+    key_cols = ["blk"] + [f"_k{j}" for j in range(len(band))]
+    a = (
+        k.select(F.col("vec_id").alias("a_id"), "blk", *bkt)
+        .withColumn("_off", F.explode(offs))
+        .select(
+            "a_id", "blk",
+            *[(F.col(f"_k{j}") + F.col("_off")[j]).alias(f"_k{j}")
+              for j in range(len(band))],
+        )
     )
-    b = k.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "blk",
+    b = k.select(F.col("vec_id").alias("b_id"), "blk", *bkt)
+    pair_ids = (
+        a.join(b, key_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
     )
-    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    # the heavy vector payload is attached to the surviving pairs via two
+    # broadcast joins (guide S8: decide with small rows, move big rows
+    # once) — the multiprobe shuffle above carries only ids and bucket ints
+    pairs = pair_ids.join(
+        F.broadcast(
+            k.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+        ),
+        "a_id",
+    ).join(
+        F.broadcast(
+            k.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+        ),
+        "b_id",
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
