@@ -65,6 +65,13 @@ CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
 # when a churn burst retracts the extremum of many groups at once.
 _EXT_RECOMPUTE_CAP = 256
 
+# bounded extrema state: per (group, extremum) the view keeps the top-K
+# DISTINCT values with their exact row counts, so retracting the current
+# extremum resolves from the buffered runner-up without touching the table;
+# the live rescan only runs when a churn burst fully retracts every
+# buffered value (r5 verdict item 1: the rescan cost 2.3x a full rebuild).
+_EXT_BUFFER_K = 12
+
 
 class VersionExpired(Exception):
     """The requested snapshot's manifest was vacuumed away. Raise rather
@@ -478,16 +485,21 @@ class IncrementalView:
 
     ``extrema`` maps output column -> ``("min"|"max", expr)``. Min/max are
     NOT signed-maintainable (a delete can retract the current extremum),
-    so they use the standard recompute-on-retraction strategy: additions
-    fold into the stored extremum with ``greatest``/``least`` (exact —
-    additions can only improve it), and a group is recomputed from the
-    live table ONLY when a removed row's value ties-or-beats everything
-    the refresh can witness (the stored extremum folded with this round's
-    additions). In steady state retractions are rare and the recompute is
-    a group-pruned scan bounded by ``_EXT_RECOMPUTE_CAP`` groups (above
-    the cap the refresh falls back to an honest full rebuild — bounded
-    driver work, never a silent unbounded collect). When grouping by
-    ``repo`` the recompute scan is additionally file-level pruned via
+    so the view keeps the standard bounded auxiliary state: per group the
+    top-``ext_buffer_k`` DISTINCT values with their EXACT row counts
+    (``_buf_*`` state columns). Additions merge into the buffer;
+    retractions decrement counts, and retracting the current extremum
+    resolves from the buffered runner-up with NO table access. The
+    invariant maintained is that every live value strictly better than
+    the buffer's worst entry is in the buffer with its exact count (new
+    values at or below that horizon are discarded unless the buffer holds
+    the whole group, which the exact counts detect), so the head of the
+    buffer is always the true extremum. Only when a churn burst retracts
+    every buffered value does a group fall back to a live recompute —
+    group-pruned, bounded by ``_EXT_RECOMPUTE_CAP`` groups (above the cap
+    the refresh falls back to an honest full rebuild — bounded driver
+    work, never a silent unbounded collect). When grouping by ``repo``
+    the recompute scan is additionally file-level pruned via
     ``LakeTable.read(repos=...)`` (footer ranges + membership summaries).
 
     State layout: ``{path}/state-v{N}/`` parquet + ``{path}/_meta.json``
@@ -533,7 +545,8 @@ class IncrementalView:
                  extrema: dict[str, tuple[str, str]] | None = None,
                  distinct: dict[str, str] | None = None,
                  dim_path: str | None = None,
-                 dim_on: list[str] | None = None):
+                 dim_on: list[str] | None = None,
+                 ext_buffer_k: int | None = None):
         self.spark = spark
         self.lake = lake
         self.path = path
@@ -541,6 +554,10 @@ class IncrementalView:
         self.metrics = dict(metrics)
         self.extrema = {k: (str(kind).lower(), expr)
                         for k, (kind, expr) in dict(extrema or {}).items()}
+        self.ext_k = int(ext_buffer_k if ext_buffer_k is not None
+                         else _EXT_BUFFER_K)
+        if self.ext_k < 1:
+            raise ValueError("ext_buffer_k must be >= 1")
         for name, (kind, _) in self.extrema.items():
             if kind not in ("min", "max"):
                 raise ValueError(f"extrema[{name!r}]: kind must be "
@@ -643,7 +660,11 @@ class IncrementalView:
                 and meta.get("extrema", {}) == self._ext_json()
                 and meta.get("distinct", {}) == self.distinct
                 and meta.get("dim_path") == self.dim_path
-                and meta.get("dim_on") == self.dim_on)
+                and meta.get("dim_on") == self.dim_on
+                # buffer size shapes the extrema state; a state written
+                # under a different K (or by the pre-buffer code, which
+                # wrote no ext_k at all) cannot be merged incrementally
+                and (not self.extrema or meta.get("ext_k") == self.ext_k))
 
     def _meta(self) -> dict | None:
         p = os.path.join(self.path, "_meta.json")
@@ -663,6 +684,7 @@ class IncrementalView:
                        "group_cols": self.group_cols,
                        "metrics": self.metrics,
                        "extrema": self._ext_json(),
+                       "ext_k": self.ext_k,
                        "distinct": self.distinct,
                        "aux": aux_name,
                        "dim_path": self.dim_path,
@@ -679,12 +701,22 @@ class IncrementalView:
                 shutil.rmtree(os.path.join(self.path, fn),
                               ignore_errors=True)
 
-    def read(self) -> DataFrame:
+    def _read_state(self) -> DataFrame:
+        """Raw state incl. the internal extrema buffers."""
         meta = self._meta()
         if meta is None:
             raise FileNotFoundError("view not built — call refresh()")
         return self.spark.read.parquet(
             os.path.join(self.path, meta["state"]))
+
+    def read(self) -> DataFrame:
+        df = self._read_state()
+        # the extrema buffers are refresh-internal state: an incrementally
+        # maintained buffer may legitimately hold fewer runner-ups than a
+        # freshly built one, so it is not part of the view's value surface
+        internal = [c for c in df.columns
+                    if c.startswith("_buf_") or c.startswith("_nn_")]
+        return df.drop(*internal)
 
     # ----------------------------------------------------------- refresh
     def _aggs(self, sign=None):
@@ -774,41 +806,50 @@ class IncrementalView:
             return self._full_build(latest, dim_fp)
         is_add = F.col("_change_type").isin("insert", "update_postimage")
         sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
-        ext_delta = []
-        for n, (kind, expr) in self.extrema.items():
-            fn = F.min if kind == "min" else F.max
-            v = F.expr(expr)
-            ext_delta.append(fn(F.when(is_add, v)).alias(f"_ext_{n}"))
-            ext_delta.append(fn(F.when(~is_add, v)).alias(f"_rem_{n}"))
         delta = (
             cf.groupBy(*self.group_cols)
-            .agg(*self._aggs(sign), F.sum(sign).alias("_cnt"), *ext_delta)
+            .agg(*self._aggs(sign), F.sum(sign).alias("_cnt"))
         )
-        state = self.read()
+        state = self._read_state()
         if self.extrema or self.distinct:
-            # reselect: extrema re-enter under _ext_ names for the fold;
-            # distinct columns are dropped (recomputed from the aux state)
+            # reselect: keep the extrema buffers (+ their non-null row
+            # counts) for the fold; extremum output columns are re-derived
+            # from the merged buffers, distinct columns are dropped
+            # (recomputed from the aux state)
             state = state.select(
                 *self.group_cols, *self.metrics, "_cnt",
-                *[F.col(n).alias(f"_ext_{n}") for n in self.extrema])
-        # one union + re-agg: a single shuffle over |state|+|delta| rows.
-        # For extrema the re-agg folds the stored extremum with this
-        # round's additions (exact — additions can only improve it) and
-        # carries the removal-side extremum for the retraction test;
-        # allowMissingColumns fills the state side's _rem_* with nulls,
-        # which min/max skip.
+                *[F.col(f"_buf_{n}") for n in self.extrema],
+                *[F.col(f"_nn_{n}") for n in self.extrema])
+        # one union + re-agg: a single shuffle over |state| + |delta| (+
+        # per-extremum value-delta) rows. Each unioned frame contributes a
+        # disjoint column set per group (state: buffers, metric totals;
+        # delta: signed metric sums; value-deltas: per-value net support
+        # changes), so sums merge the metrics and first(ignorenulls) picks
+        # each side's payload without a join.
+        frames = [state, delta]
+        for n, (kind, expr) in self.extrema.items():
+            v = F.expr(expr)
+            vc = (cf.withColumn("_exv", v)
+                  .filter(F.col("_exv").isNotNull())
+                  .groupBy(*self.group_cols, "_exv")
+                  .agg(F.sum(sign).cast("bigint").alias("_exc")))
+            frames.append(vc.groupBy(*self.group_cols).agg(
+                F.expr("collect_list(named_struct('v', _exv, 'c', _exc))")
+                .alias(f"_dl_{n}"),
+                F.sum("_exc").cast("bigint").alias(f"_dnn_{n}")))
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr, allowMissingColumns=True)
         merge_aggs = (
             [F.coalesce(F.sum(F.col(n)), F.lit(0)).alias(n)
              for n in self.metrics]
             + [F.sum("_cnt").alias("_cnt")]
         )
-        for n, (kind, _) in self.extrema.items():
-            fn = F.min if kind == "min" else F.max
-            merge_aggs.append(fn(f"_ext_{n}").alias(f"_ext_{n}"))
-            merge_aggs.append(fn(f"_rem_{n}").alias(f"_rem_{n}"))
+        for n in self.extrema:
+            for c in (f"_buf_{n}", f"_nn_{n}", f"_dl_{n}", f"_dnn_{n}"):
+                merge_aggs.append(F.first(c, ignorenulls=True).alias(c))
         merged = (
-            state.unionByName(delta, allowMissingColumns=True)
-            .groupBy(*self.group_cols)
+            u.groupBy(*self.group_cols)
             .agg(*merge_aggs)
             .filter(F.col("_cnt") > 0)
         )
@@ -836,23 +877,85 @@ class IncrementalView:
         self._write_state(merged, latest, dim_fp=dim_fp, aux_name=aux_name)
         return out
 
+    def _ext_cmp(self, kind: str) -> str:
+        """array_sort comparator placing the best value first."""
+        op = ">" if kind == "max" else "<"
+        return (f"(l, r) -> case when l.v {op} r.v then -1 "
+                f"when r.v {op} l.v then 1 else 0 end")
+
+    def _ext_buf_frames(self, src: DataFrame, buf_prefix: str = "_buf_",
+                        nn_prefix: str = "_nn_") -> list[DataFrame]:
+        """Per-extremum frame over a row source: the top-K distinct values
+        with exact counts plus the total non-null row count per group."""
+        frames = []
+        for n, (kind, expr) in self.extrema.items():
+            vc = (src.withColumn("_exv", F.expr(expr))
+                  .filter(F.col("_exv").isNotNull())
+                  .groupBy(*self.group_cols, "_exv")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("_exc")))
+            frames.append(vc.groupBy(*self.group_cols).agg(
+                F.expr(
+                    "slice(array_sort("
+                    "collect_list(named_struct('v', _exv, 'c', _exc)), "
+                    f"{self._ext_cmp(kind)}), 1, {self.ext_k})"
+                ).alias(f"{buf_prefix}{n}"),
+                F.sum("_exc").cast("bigint").alias(f"{nn_prefix}{n}")))
+        return frames
+
+    def _nsafe(self, left, right):
+        cond = None
+        for c in self.group_cols:
+            t = left[c].eqNullSafe(right[c])
+            cond = t if cond is None else cond & t
+        return cond
+
     def _apply_extrema(self, merged: DataFrame, latest: int):
-        """Resolve extrema on the merged state: keep the folded value for
-        groups no retraction can have moved (the common case); recompute
-        from the live table only the groups where a removed value
-        ties-or-beats everything the refresh can witness. Returns
-        ``(resolved state, n_recomputed)`` or ``(None, n)`` when the
-        recompute set exceeds ``_EXT_RECOMPUTE_CAP`` (caller rebuilds)."""
-        tests = []
+        """Fold this refresh's per-value support deltas into each group's
+        top-K buffer (pure column math, no table access): counts of
+        buffered values adjust by the net delta, new values enter only
+        above the buffer horizon (or anywhere when the exact counts prove
+        the buffer holds the whole group), and the head of the re-sorted
+        buffer is the new extremum. Only a group whose buffer drains
+        completely while non-null rows remain needs a live recompute.
+        Returns ``(resolved state, n_recomputed)`` or ``(None, n)`` when
+        the recompute set exceeds ``_EXT_RECOMPUTE_CAP`` (caller
+        rebuilds)."""
+        zero = "cast(0 as bigint)"
         for n, (kind, _) in self.extrema.items():
-            rem, ext = F.col(f"_rem_{n}"), F.col(f"_ext_{n}")
-            beats = (rem <= ext) if kind == "min" else (rem >= ext)
-            tests.append(rem.isNotNull() & (ext.isNull() | beats))
-        need = tests[0]
-        for t in tests[1:]:
-            need = need | t
+            b, d = f"_buf_{n}", f"_dl_{n}"
+            nn, dnn = f"_nn_{n}", f"_dnn_{n}"
+            op = ">" if kind == "max" else "<"
+            merged = merged.withColumn(
+                f"_b0_{n}", F.expr(f"coalesce({b}, slice({d}, 1, 0))"))
+            b0 = f"_b0_{n}"
+            # exact counts make completeness checkable: sum(buffer counts)
+            # == non-null rows means the buffer holds the entire group
+            cpl = (f"(coalesce({nn}, {zero}) = "
+                   f"aggregate({b0}, {zero}, (a, x) -> a + x.c))")
+            hz = f"element_at({b0}, size({b0})).v"
+            upd = (f"transform({b0}, x -> named_struct('v', x.v, 'c', "
+                   f"x.c + coalesce(aggregate(filter({d}, e -> e.v = x.v),"
+                   f" {zero}, (a, e) -> a + e.c), {zero})))")
+            new = (f"filter({d}, e -> not exists({b0}, x -> x.v = e.v) "
+                   f"and ({cpl} or (size({b0}) > 0 and e.v {op} {hz})))")
+            fold = (f"slice(array_sort(filter(concat({upd}, {new}), "
+                    f"x -> x.c > 0), {self._ext_cmp(kind)}), "
+                    f"1, {self.ext_k})")
+            merged = merged.withColumn(
+                f"_nb_{n}",
+                F.expr(f"case when {d} is null then {b} else {fold} end"))
+            merged = merged.withColumn(
+                nn, F.expr(f"coalesce({nn}, {zero}) "
+                           f"+ coalesce({dnn}, {zero})"))
+            merged = merged.withColumn(
+                f"_need_{n}",
+                F.expr(f"{d} is not null and size(_nb_{n}) = 0 "
+                       f"and {nn} > 0"))
+        need = F.col(f"_need_{next(iter(self.extrema))}")
+        for n in list(self.extrema)[1:]:
+            need = need | F.col(f"_need_{n}")
         # checkpoint: the state is group-cardinality-sized and is consumed
-        # three times below (recompute-key probe, resolve, write)
+        # twice below (recompute-key probe, write)
         merged = merged.localCheckpoint(eager=True)
         # bounded driver transfer: cap+1 rows, one job
         rc = (merged.filter(need).select(*self.group_cols)
@@ -860,27 +963,34 @@ class IncrementalView:
         if len(rc) > _EXT_RECOMPUTE_CAP:
             return None, len(rc)
 
-        def _resolved(df: DataFrame, rc_marked: bool) -> list:
+        def _resolved(rc_marked: bool) -> list:
             cols = ([F.col(c) for c in self.group_cols]
-                    + [F.col(n) for n in self.metrics] + [F.col("_cnt")])
+                    + [F.col(m) for m in self.metrics] + [F.col("_cnt")])
+            bufs, nns = [], []
             for n in self.extrema:
                 if rc_marked:
-                    cols.append(
-                        F.when(F.coalesce(F.col("_rc"), F.lit(False)),
-                               F.col(f"_new_{n}"))
-                        .otherwise(F.col(f"_ext_{n}")).alias(n))
+                    hit = F.coalesce(F.col("_rc"), F.lit(False))
+                    buf = F.when(hit, F.col(f"_rbuf_{n}")) \
+                        .otherwise(F.col(f"_nb_{n}"))
+                    nn = F.when(hit,
+                                F.coalesce(F.col(f"_rnn_{n}"),
+                                           F.lit(0).cast("bigint"))) \
+                        .otherwise(F.col(f"_nn_{n}"))
                 else:
-                    cols.append(F.col(f"_ext_{n}").alias(n))
-            return cols
+                    buf, nn = F.col(f"_nb_{n}"), F.col(f"_nn_{n}")
+                cols.append(F.element_at(buf, 1)["v"].alias(n))
+                bufs.append(buf.alias(f"_buf_{n}"))
+                nns.append(nn.alias(f"_nn_{n}"))
+            return cols + bufs + nns
 
         if not rc:
-            return merged.select(*_resolved(merged, False)), 0
-        # group-pruned live rescan for just the retracted groups; when the
+            return merged.select(*_resolved(False)), 0
+        # group-pruned live rescan for just the drained groups; when the
         # view groups by repo the scan is additionally file-level pruned
         # (footer ranges + membership summaries). Joins are NULL-SAFE on
         # the group keys: a null-keyed group (null fact value, unmatched
         # dim row) must still be rescanned, or its retracted extremum
-        # would silently keep the stale folded value.
+        # would silently keep stale state.
         repos = (sorted({r["repo"] for r in rc if r["repo"] is not None})
                  if "repo" in self.group_cols else None)
         if repos is not None and any(r["repo"] is None for r in rc):
@@ -888,39 +998,65 @@ class IncrementalView:
         live = self._enrich(self.lake.read(version=latest, repos=repos))
         kdf = self.spark.createDataFrame(
             rc, merged.select(*self.group_cols).schema)
-
-        def _nsafe(left, right):
+        sub = live.join(F.broadcast(kdf), self._nsafe(live, kdf),
+                        "left_semi")
+        # rebuild buffer + non-null count for the drained groups only; a
+        # group whose surviving values are all null keeps a null buffer
+        # (extremum null), which the left joins below express naturally.
+        # The rescan side's group columns are renamed (_rg_*) so the join
+        # chain never carries two same-named key columns.
+        rec = kdf.select(
+            *[F.col(c).alias(f"_rg_{c}") for c in self.group_cols],
+            F.lit(True).alias("_rc"))
+        for fr in self._ext_buf_frames(sub, buf_prefix="_rbuf_",
+                                       nn_prefix="_rnn_"):
+            fr = fr.select(
+                *[F.col(c).alias(f"_fg_{c}") for c in self.group_cols],
+                *[c for c in fr.columns if c not in self.group_cols])
             cond = None
             for c in self.group_cols:
-                t = left[c].eqNullSafe(right[c])
+                t = F.col(f"_rg_{c}").eqNullSafe(F.col(f"_fg_{c}"))
                 cond = t if cond is None else cond & t
-            return cond
-
-        sub = live.join(F.broadcast(kdf), _nsafe(live, kdf), "left_semi")
-        re_aggs = []
-        for n, (kind, expr) in self.extrema.items():
-            fn = F.min if kind == "min" else F.max
-            re_aggs.append(fn(F.expr(expr)).alias(f"_new_{n}"))
-        rec = (sub.groupBy(*self.group_cols).agg(*re_aggs)
-               .withColumn("_rc", F.lit(True)))
-        joined = merged.join(F.broadcast(rec), _nsafe(merged, rec), "left")
+            rec = rec.join(fr, cond, "left") \
+                .drop(*[f"_fg_{c}" for c in self.group_cols])
+        cond = None
         for c in self.group_cols:
-            joined = joined.drop(rec[c])
-        return joined.select(*_resolved(joined, True)), len(rc)
+            t = F.col(c).eqNullSafe(F.col(f"_rg_{c}"))
+            cond = t if cond is None else cond & t
+        joined = merged.join(F.broadcast(rec), cond, "left") \
+            .drop(*[f"_rg_{c}" for c in self.group_cols])
+        return joined.select(*_resolved(True)), len(rc)
 
     def _full_build(self, latest: int,
                     dim_fp: str | None = None) -> dict:
         full = self._enrich(self.lake.read(version=latest))
         aggs = self._aggs() + [F.count(F.lit(1)).alias("_cnt")]
-        for n, (kind, expr) in self.extrema.items():
-            fn = F.min if kind == "min" else F.max
-            aggs.append(fn(F.expr(expr)).alias(n))
         for n, expr in self.distinct.items():
             # same cast-to-string comparison domain as the aux state, so
             # full-build counts and incrementally-maintained counts agree
             aggs.append(
                 F.countDistinct(F.expr(expr).cast("string")).alias(n))
         state = full.groupBy(*self.group_cols).agg(*aggs)
+        if self.extrema:
+            # attach the top-K value buffers via the same union+first
+            # merge the refresh uses (no null-sensitive join on group
+            # keys); the extremum output column is the buffer head, and
+            # the state column order matches the incremental writer:
+            # groups, metrics, _cnt, extrema, buffers, nn, distinct
+            u = state
+            for fr in self._ext_buf_frames(full):
+                u = u.unionByName(fr, allowMissingColumns=True)
+            others = [c for c in u.columns if c not in self.group_cols]
+            state = u.groupBy(*self.group_cols).agg(
+                *[F.first(c, ignorenulls=True).alias(c) for c in others])
+            state = state.select(
+                *self.group_cols, *self.metrics, "_cnt",
+                *[F.element_at(F.col(f"_buf_{n}"), 1)["v"].alias(n)
+                  for n in self.extrema],
+                *[F.col(f"_buf_{n}") for n in self.extrema],
+                *[F.coalesce(F.col(f"_nn_{n}"), F.lit(0).cast("bigint"))
+                  .alias(f"_nn_{n}") for n in self.extrema],
+                *self.distinct)
         aux_name = None
         if self.distinct:
             aux_name = self._write_aux(

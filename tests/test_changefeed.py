@@ -631,23 +631,24 @@ def test_extrema_incremental_matches_oracle(spark, warehouse, tmp_path,
     assert r["ext_recomputed_groups"] == 0
     assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
 
-    # delete the python max (12): retraction ties-or-beats -> recompute
+    # delete the python max (12): the buffered runner-up resolves it with
+    # NO table access (r5 verdict item 1) — zero recomputed groups
     t.merge_batch(_mk_actions(spark, [
         ("r1", "e.py", c(4), 0, "delete", None, None, None),
     ]), epoch=3)
     r = view.refresh()
     assert r["mode"] == "incremental"
-    assert r["ext_recomputed_groups"] == 1
+    assert r["ext_recomputed_groups"] == 0
     assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
 
-    # update shrinks the current go max (6 -> 1): pre-image retraction
-    # beats the folded candidate -> recompute; also moves the go min
+    # update shrinks the current go max (6 -> 1): pre-image retraction of
+    # the extremum, again resolved from the buffer; also moves the go min
     t.merge_batch(_mk_actions(spark, [
         ("r1", "c.go", c(5), 0, "upsert", "go", "c", "s7"),
     ]), epoch=4)
     r = view.refresh()
     assert r["mode"] == "incremental"
-    assert r["ext_recomputed_groups"] == 1
+    assert r["ext_recomputed_groups"] == 0
     assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
 
     # group-moving update: python max row hops to a brand-new group
@@ -674,6 +675,9 @@ def test_extrema_repo_grouped_prunes_and_matches(spark, warehouse,
         group_cols=["repo"], metrics={"n_files": "1"},
         extrema={"max_bytes": ("max", "length(content)"),
                  "min_bytes": ("min", "length(content)")},
+        # K=1 drains the buffer on the first extremum retraction, forcing
+        # the repo-pruned rescan path this test exists to exercise
+        ext_buffer_k=1,
     )
     view.refresh()
     # retract the max of exactly one repo -> repo-pruned recompute scan
@@ -702,6 +706,7 @@ def test_extrema_cap_falls_back_to_rebuild(spark, warehouse, tmp_path,
         group_cols=["lang"], metrics={"n_files": "1"},
         extrema={"max_bytes": ("max", "length(content)"),
                  "min_bytes": ("min", "length(content)")},
+        ext_buffer_k=1,  # drain on first retraction -> recompute path
     )
     view.refresh()
     # retract BOTH groups' maxima with the cap at 1 -> honest full rebuild
@@ -714,6 +719,98 @@ def test_extrema_cap_falls_back_to_rebuild(spark, warehouse, tmp_path,
     assert r["mode"] == "full"
     assert r["reason"] == "ext_recompute_cap"
     assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+
+def test_extrema_buffer_runnerup_and_drain(spark, warehouse, tmp_path):
+    """Focused buffer-state checks (the r6 optimization): a retraction of
+    the extremum resolves from the buffered runner-up without a scan; a
+    duplicated extremum survives a single retraction via its exact count;
+    retracting every buffered value drains the buffer and falls back to
+    the (counted) live recompute."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "ext_buf"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "x" * 9, "s1"),
+        ("r1", "b.py", c(1), 1, "upsert", "python", "y" * 9, "s2"),  # dup 9
+        ("r1", "c.py", c(1), 2, "upsert", "python", "x" * 8, "s3"),
+        ("r1", "d.py", c(1), 3, "upsert", "python", "x" * 7, "s4"),
+        ("r1", "e.py", c(1), 4, "upsert", "python", "x" * 6, "s5"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "ext_buf"),
+        group_cols=["lang"], metrics={"n_files": "1"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+        ext_buffer_k=2,  # buffer holds {9 x2, 8} for max, {6, 7} for min
+    )
+    assert view.refresh()["mode"] == "full"
+
+    # delete ONE of the two max-9 rows: count 2 -> 1, max stays 9, no scan
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 0
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+
+    # delete the last 9 AND the 8 in one batch: both buffered max values
+    # drain -> live recompute of the one group finds 7 exactly
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "b.py", c(3), 0, "delete", None, None, None),
+        ("r1", "c.py", c(3), 1, "delete", None, None, None),
+    ]), epoch=2)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 1
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+    assert _ext_view(view, "lang")["python"] == (2, 7, 6)
+
+    # after the recompute rebuilt the buffer {7, 6}: retract the max again
+    # -> runner-up (6) resolves it without another scan
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "d.py", c(4), 0, "delete", None, None, None),
+    ]), epoch=3)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 0
+    assert _ext_view(view, "lang")["python"] == (1, 6, 6)
+
+
+def test_extrema_buffer_full_group_retraction(spark, warehouse, tmp_path):
+    """A group whose every row is retracted disappears; re-inserting rows
+    later rebuilds the buffer from the additions alone (the exact counts
+    prove the empty buffer holds 'the whole group')."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "ext_gone"),
+                         num_buckets=4, merge_mode="mor")
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(1), 0, "upsert", "python", "aaaa", "s1"),
+        ("r1", "b.go", c(1), 1, "upsert", "go", "bb", "s2"),
+    ]), epoch=0)
+    view = IncrementalView(
+        spark, t, str(tmp_path / "ext_gone"),
+        group_cols=["lang"], metrics={"n_files": "1"},
+        extrema={"max_bytes": ("max", "length(content)"),
+                 "min_bytes": ("min", "length(content)")},
+        ext_buffer_k=2,
+    )
+    assert view.refresh()["mode"] == "full"
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "a.py", c(2), 0, "delete", None, None, None),
+    ]), epoch=1)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 0
+    assert set(_ext_view(view, "lang")) == {"go"}
+    t.merge_batch(_mk_actions(spark, [
+        ("r1", "n1.py", c(3), 0, "upsert", "python", "nnn", "s3"),
+        ("r1", "n2.py", c(3), 1, "upsert", "python", "n", "s4"),
+    ]), epoch=2)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert r["ext_recomputed_groups"] == 0
+    assert _ext_view(view, "lang") == _ext_oracle(t, "lang")
+    assert _ext_view(view, "lang")["python"] == (2, 3, 1)
 
 
 def test_extrema_config_change_rebuilds(spark, warehouse, tmp_path):
@@ -860,7 +957,8 @@ def test_dim_enriched_extrema_recompute_scans_enriched(
         spark, t, str(tmp_path / "dve"), group_cols=["tier"],
         metrics={"n": "1"},
         extrema={"max_b": ("max", "length(content)")},
-        dim_path=dim_path, dim_on=["lang"])
+        dim_path=dim_path, dim_on=["lang"],
+        ext_buffer_k=1)  # drain on first retraction -> rescan path
     view.refresh()
     # delete the t1 max holder -> retraction ties the stored extremum ->
     # group-pruned live rescan, which must see tier via the dim join
@@ -1065,7 +1163,8 @@ def test_extrema_retraction_in_null_keyed_group(spark, warehouse, tmp_path):
     view = IncrementalView(
         spark, t, str(tmp_path / "v"), group_cols=["lang"],
         metrics={"n": "1"},
-        extrema={"max_b": ("max", "length(content)")})
+        extrema={"max_b": ("max", "length(content)")},
+        ext_buffer_k=1)  # drain on first retraction -> rescan path
     view.refresh()
     # delete the null-group's max holder -> retraction must rescan the
     # null group and shrink max_b 9 -> 4
