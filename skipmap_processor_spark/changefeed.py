@@ -226,7 +226,9 @@ def table_changes(lake: LakeTable, from_version: int,
     # cheap feed path). localCheckpoint (MEMORY_AND_DISK) breaks lineage so
     # the scan never re-runs per consumer; blocks are freed by the
     # ContextCleaner when the feed DataFrame goes out of scope.
-    cand_df = lake._read_files(mani_to, cand).localCheckpoint(eager=True)
+    cand_df = lake._read_files(mani_to, cand)
+    if not getattr(cand_df, "_skipmap_local_relation", False):
+        cand_df = cand_df.localCheckpoint(eager=True)
     keys = cand_df.select(*KEY_COLS).distinct()
     # one driver-side collect over the (checkpointed, delta-sized)
     # candidate keys covers both prunes: bucket ids (bounded by

@@ -705,8 +705,36 @@ class LakeTable:
             by_sv.setdefault(int(fe["schema_version"]), []).append(
                 os.path.join(self.path, fe["path"])
             )
+        # Many-tiny-DIRECTORY candidate sets (a changefeed catch-up across
+        # N trickle commits reads N one-file commit dirs) are
+        # LISTING-bound, not data-bound: spark.read.parquet(1000 paths)
+        # costs ~4 s of driver file-index work before any task runs
+        # (guide S6 small files / S7.3 driver-side listing). When such a
+        # set is also broadcast-scale in bytes, the files are read
+        # driver-side with pyarrow on a thread pool and handed to Spark
+        # as ONE Arrow table: same rows, no per-path listing, no scan
+        # job. The gate counts DIRS, not files: a delta set of hundreds
+        # of files in a few commit dirs (the merge/compaction hot path)
+        # is already collapsed to whole-dir reads below and scans faster
+        # distributed (funneling it through the driver measured 2x worse
+        # on the CDC replay); and sets with real data volume (CoW
+        # rewrites, compactions) keep the distributed scan regardless.
+        use_arrow = (
+            len({os.path.dirname(fe["path"]) for fe in files}) >= 64
+            and all("bytes" in fe for fe in files)
+            and sum(int(fe["bytes"]) for fe in files) <= 64 * 1024 * 1024
+        )
+        all_local = True
         for sv, paths in sorted(by_sv.items()):
             old_cols = mani["schemas"][str(sv)]
+            if use_arrow:
+                df = self._read_files_arrow(paths, old_cols)
+                if df is not None:
+                    df = self._rebind_by_id(df, old_cols, cur_by_id,
+                                            cur_cols)
+                    out = df if out is None else out.unionByName(df)
+                    continue
+            all_local = False
             # Collapse complete leaf directories to one path each: listing
             # N explicit files costs ~2ms of driver time apiece (500 delta
             # files ≈ 1.2s before any task runs — a core-count-independent
@@ -730,29 +758,69 @@ class LakeTable:
                 else:
                     read_paths.extend(fs)
             df = self.spark.read.parquet(*read_paths)
-            # rename by id: old name -> current name; drop ids gone from schema
-            selects = []
-            present_ids = set()
-            for oc in old_cols:
-                cur = cur_by_id.get(oc["id"])
-                if cur is None:
-                    continue
-                col = F.col(oc["name"])
-                if oc.get("type") != cur.get("type"):
-                    # id-bound type promotion (widen_column): old files keep
-                    # their narrow physical type; the cast is lossless by
-                    # the _WIDENINGS whitelist enforced at mutation time
-                    col = col.cast(cur["type"])
-                selects.append(col.alias(cur["name"]))
-                present_ids.add(oc["id"])
-            for c in cur_cols:  # columns added after this file was written
-                if c["id"] not in present_ids:
-                    selects.append(
-                        F.lit(None).cast(c["type"]).alias(c["name"])
-                    )
-            df = df.select(*selects).select(*[c["name"] for c in cur_cols])
+            df = self._rebind_by_id(df, old_cols, cur_by_id, cur_cols)
             out = df if out is None else out.unionByName(df)
+        if all_local and out is not None:
+            # marker for consumers that checkpoint scan-backed frames to
+            # avoid re-running the scan per action: a driver-materialized
+            # local relation has no scan to re-run
+            out._skipmap_local_relation = True
         return out
+
+    def _rebind_by_id(self, df: DataFrame, old_cols: list[dict],
+                      cur_by_id: dict, cur_cols: list[dict]) -> DataFrame:
+        """Rename by id: old name -> current name; drop ids gone from the
+        schema; null-fill columns added after the file was written."""
+        selects = []
+        present_ids = set()
+        for oc in old_cols:
+            cur = cur_by_id.get(oc["id"])
+            if cur is None:
+                continue
+            col = F.col(oc["name"])
+            if oc.get("type") != cur.get("type"):
+                # id-bound type promotion (widen_column): old files keep
+                # their narrow physical type; the cast is lossless by
+                # the _WIDENINGS whitelist enforced at mutation time
+                col = col.cast(cur["type"])
+            selects.append(col.alias(cur["name"]))
+            present_ids.add(oc["id"])
+        for c in cur_cols:  # columns added after this file was written
+            if c["id"] not in present_ids:
+                selects.append(
+                    F.lit(None).cast(c["type"]).alias(c["name"])
+                )
+        return df.select(*selects).select(*[c["name"] for c in cur_cols])
+
+    def _read_files_arrow(self, paths: list[str],
+                          old_cols: list[dict]) -> DataFrame | None:
+        """Driver-side threaded pyarrow read of a broadcast-scale file
+        set -> one Spark DataFrame, or None to fall back to the scan.
+        Columns are selected and cast to the declared schema-version
+        types so the frame is indistinguishable from the scan path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            import pyarrow.parquet as pq
+
+            names = [oc["name"] for oc in old_cols]
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                tables = list(pool.map(
+                    lambda p: pq.read_table(p, columns=names), paths))
+            import pyarrow as pa
+
+            # combine: a 1000-file concat is 1000 tiny chunks per column,
+            # and per-chunk conversion overhead dominates the transfer
+            # (measured 5.1 s -> 1.6 s for 1000 one-row files)
+            tbl = pa.concat_tables(
+                tables, promote_options="default").combine_chunks()
+            df = self.spark.createDataFrame(tbl)
+        except Exception:
+            return None  # unreadable/exotic types: distributed scan path
+        return df.select(*[
+            F.col(oc["name"]).cast(oc["type"]).alias(oc["name"])
+            for oc in old_cols
+        ])
 
     def read(
         self,

@@ -29,10 +29,12 @@ from pyspark.sql.types import LongType
 
 
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
-    """Distinct n-word shingles per doc: (doc_id, shingle)."""
+             text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """N-word shingles per doc: (doc_id, shingle), distinct by default.
+    ``distinct=False`` skips the dedup shuffle for consumers whose fold
+    is duplicate-insensitive (MIN in the minhash signatures)."""
     parts = ", ".join(f"element_at(tok, i + {j})" for j in range(n))
-    return (
+    out = (
         df.select(id_col, F.split(F.col(text_col), " ").alias("tok"))
         .filter(F.size("tok") >= n)  # sequence(1, 0) would descend
         .select(
@@ -44,8 +46,8 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -70,39 +72,54 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
     10^12 join rows).
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
-    # One shingle set, computed once: the naive formulation (freq agg +
-    # join + sizes agg + self-join) re-derived the explode+distinct EIGHT
-    # times in the physical plan. The stop-shingle frequency and the
-    # per-doc kept-shingle count become windows over the same set, the
-    # result persists (spills to disk at scale), and the self-join's two
-    # sides read the cache. n_sh rides along to the pair aggregation, so
-    # no post-join size lookups are needed.
-    sh = shingles(df, n)
-    sh = (
-        sh.withColumn("df_freq", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df_freq") <= max_shingle_freq)
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .select("doc_id", "shingle", "n_sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # One shingle set, computed once and persisted (spills to disk at
+    # scale); the stop-shingle frequency comes from a plain groupBy (hash
+    # aggregate — cheaper than the r5 sort-based count window). The pair
+    # enumeration is the dominant cost at scale (at sf1.0: 67M candidate
+    # pairs, nearly all from shingles near the frequency cap), so it is
+    # restructured from a string-keyed self-join into one per-shingle
+    # doc-list aggregation (bounded by max_shingle_freq) followed by a
+    # map-side emission of the a<b pairs from each sorted list: the only
+    # big shuffle carries (int, int) pair rows into the count aggregate
+    # (guide S2.3: shuffle keys, not payloads). Per-doc sizes re-attach
+    # to the thresholded aggregate via a broadcast join.
+    sh = shingles(df, n).persist(StorageLevel.MEMORY_AND_DISK)
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") <= max_shingle_freq)
+        .select("shingle")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .agg(
-            F.count("*").alias("n_common"),
-            F.min(F.col("a.n_sh")).alias("a_sh"),  # constant within group
-            F.min(F.col("b.n_sh")).alias("b_sh"),
-        )
+    shf = sh.join(kept, "shingle", "left_semi")
+    sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    doc_lists = shf.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    pairs = (
+        doc_lists.select(F.explode(F.expr(
+            # all i<j pairs of the sorted doc list, emitted map-side
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), "
+            "y -> named_struct('a_id', x, 'b_id', y))))"
+        )).alias("p"))
+        .select("p.a_id", "p.b_id")
+        # repartition on the group key BEFORE aggregating: candidate pairs
+        # are near-distinct (67M rows -> 67M groups at sf1.0), so the
+        # map-side partial aggregate reduces nothing and just builds
+        # full-size hash maps ahead of the exchange; hash-partitioning
+        # first collapses the plan to one aggregate after the shuffle
+        # (measured 28s -> 20s for the agg at sf1.0)
+        .repartition("a_id", "b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
     )
     out = (
-        common.withColumn(
+        pairs
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("a_id"),
+                                       F.col("n_sh").alias("a_sh"))), "a_id")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("b_id"),
+                                       F.col("n_sh").alias("b_sh"))), "b_id")
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -134,8 +151,15 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 16) -> DataF
     COLUMNS per doc (map-side partial agg) instead of exploding 16 rows
     per shingle through the shuffle — 16x less shuffle volume. The
     (hidx, minhash) row shape unpivots AFTER aggregation, when it's one
-    row per doc."""
-    sh = shingles(df, n)
+    row per doc.
+
+    The shingle set is deliberately NOT deduplicated first: MIN is
+    insensitive to duplicate shingles within a doc, so skipping the
+    distinct drops a full (doc_id, shingle) string shuffle and lets the
+    min fold happen map-side in the scan stage (guide S2.3 aggregate-
+    before-shuffle; result proven unchanged by the oracle twin, which
+    folds over the distinct set)."""
+    sh = shingles(df, n, distinct=False)
     hh = sh.select("doc_id", F.md5("shingle").alias("d")).select(
         "doc_id",
         F.expr("cast(conv(substring(d, 1, 8), 16, 10) as bigint)").alias("h1"),
@@ -289,27 +313,29 @@ def decontam_overlap(df: DataFrame, n: int = 5, threshold: float = 0.2,
     ``threshold`` are contamination suspects to drop before training.
 
     Scale shape: the benchmark shingle set is small (eval sets are) — the
-    distinct-shingle semi-join broadcasts; the corpus side is one explode +
-    two partial aggregations. No all-pairs anything."""
+    distinct-shingle lookup broadcasts; the corpus side is one explode +
+    ONE aggregation (total and overlap counted in the same pass: the r5
+    shape ran the corpus explode+distinct twice, once per aggregate, and
+    paid a shuffled join to glue the halves — guide S2.4 remove shuffles
+    outright). No all-pairs anything."""
     sh = shingles(df, n)
     is_bench = F.col("doc_id") % bench_mod == 0
-    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    bench_sh = (sh.filter(is_bench).select("shingle").distinct()
+                .withColumn("_hit", F.lit(1)))
     corpus_sh = sh.filter(~is_bench)
-    tot = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    hit = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
     return (
-        tot.join(hit, "doc_id", "left")
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count("_hit").alias("n_overlap"),
+        )
         .select(
             "doc_id",
             "n_sh",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            "n_overlap",
             F.round(
-                F.coalesce(F.col("n_overlap"), F.lit(0))
-                / F.col("n_sh").cast("double"), 6
+                F.col("n_overlap") / F.col("n_sh").cast("double"), 6
             ).alias("overlap_frac"),
         )
         .filter(F.col("overlap_frac") >= threshold)

@@ -18,6 +18,7 @@ Parity rules used throughout (so order-insensitive value-hashes match):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -31,8 +32,48 @@ ORACLE_SQL: dict[str, str] = {}
 COVERAGE: dict[str, str] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       wide: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Scan-parallelism floor (guide S2.5 "input skew: one huge
+    # unsplittable file -> repartition immediately after the read"):
+    # parquet scan parallelism is bounded by ROW GROUPS, and the fixture
+    # tables are written as one row group per file — so the scan is ONE
+    # task no matter how expensive the per-row work above it is (at sf1.0
+    # the 1M-row events table is 15 MB -> a JSON-roundtrip query ran
+    # 1-of-32 cores; maxPartitionBytes/minPartitionNum cannot split
+    # inside a row group). ``wide=True`` — set by the queries whose
+    # per-row work dwarfs the scan (JSON roundtrip, shingling, vector
+    # math, media decode; each measured faster with it at sf1.0) —
+    # round-robins such a table across the session parallelism for the
+    # cost of shuffling a few MB. Cheap scan-shaped queries keep the
+    # 1-task scan: the exchange costs more than it buys there. The
+    # repartition is skipped when the table already splits into enough
+    # row groups (the 100 TB shape) or is broadcast-small; both bounds
+    # scale with core count, not the fixture.
+    if not wide:
+        return df
+    path = f"{sf_dir}/{name}.parquet"
+    par = spark.sparkContext.defaultParallelism
+    key = (path, par)
+    nparts = _SCAN_FLOOR_CACHE.get(key)
+    if nparts is None:
+        nparts = 1
+        try:
+            size = os.path.getsize(path)
+            if 1024 * 1024 <= size <= par * 64 * 1024 * 1024:
+                import pyarrow.parquet as _pq
+                if _pq.ParquetFile(path).metadata.num_row_groups <= par // 4:
+                    nparts = par
+        except Exception:
+            pass
+        _SCAN_FLOOR_CACHE[key] = nparts
+    if nparts > 1:
+        df = df.repartition(int(nparts))
+    return df
+
+
+_SCAN_FLOOR_CACHE: dict[tuple[str, int], int] = {}
 
 
 def q(name: str, covers: str, sql: str | None = None):
@@ -639,7 +680,7 @@ _SHINGLE_CTE = """
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup_docs.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2, max_shingle_freq=100
+        _t(spark, sf_dir, "documents", wide=True), n=3, threshold=0.2, max_shingle_freq=100
     )
 
 
@@ -669,7 +710,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return dedup_docs.minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=4
+        _t(spark, sf_dir, "documents", wide=True), n=3, num_hashes=16, bands=4
     )
 
 
@@ -705,7 +746,7 @@ _COSINE_SQL = """
 
 @q("sim_topk_cosine", "§sim-brute,F8", _COSINE_SQL.format(where=""))
 def sim_topk_cosine(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", wide=True)
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return similarity.cosine_topk(e, list(qv), k=10)
 
@@ -715,7 +756,7 @@ def sim_ivf_topk(spark, sf_dir):
     """Real IVF: deterministic k-means coarse quantizer (init = vec_id < 8,
     2 Lloyd steps, 6dp rounding) -> scan only the query's cell. The DuckDB
     twin re-trains the identical k-means and reproduces the assignment."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", wide=True)
     return similarity.ivf_topk(e, k=10, n_cells=8, iters=2, query_id=0)
 
 
@@ -729,7 +770,7 @@ def sim_ivf_multiprobe(spark, sf_dir):
     (the full 4x-single-cell probe budget), still partition-prunable on
     the cell column. The DuckDB twin ranks the identical final centroids
     and probes the identical cells."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", wide=True)
     return similarity.ivf_topk(e, k=10, n_cells=8, iters=2, query_id=0,
                                probes=4)
 
@@ -995,7 +1036,7 @@ def decontam_overlap(spark, sf_dir):
     3-gram shingles with the benchmark set (doc_id % 97 == 0 stand-in).
     Benchmark shingles broadcast (eval sets are small); corpus side is one
     explode + two partial aggs — no all-pairs."""
-    return dedup_docs.decontam_overlap(_t(spark, sf_dir, "documents"),
+    return dedup_docs.decontam_overlap(_t(spark, sf_dir, "documents", wide=True),
                                        n=3, threshold=0.05, bench_mod=97)
 
 
@@ -1199,7 +1240,7 @@ def multimodal_decode(spark, sf_dir):
     )
     import numpy as np
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", wide=True)
     seed = F.col("doc_id").cast("string")
     h = [F.md5(F.concat(F.lit("m"), seed, F.lit(f":{j}"))) for j in range(3)]
     ppm_header = F.lit("P6\n4 4\n255\n".encode())
@@ -1271,7 +1312,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     original/copy pairs must surface. Reference dedup precedent:
     in-batch keep-last + fuzzy clustering joins
     (/root/reference/src/clustering/database/PostgreSQLClusteringDatabase.ts:509-517)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", wide=True)
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select(F.col("vec_id"), as_double.alias("v")).unionAll(
         e.select(
@@ -1563,7 +1604,7 @@ def a8_dissolve_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator must have at 100 TB."""
     from skipmap_processor_spark.operators import geo
 
-    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 < 3)
+    e = _t(spark, sf_dir, "events", wide=True).filter(F.col("event_id") % 10 < 3)
     n = max(1, e.count() // 6)  # deterministic: row count of the filter
     eid = F.col("event_id")
     cell = eid % n
@@ -1606,7 +1647,7 @@ def s14_mvt_point_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile bytes themselves are covered by the round-trip decoder tests."""
     from skipmap_processor_spark.sinks import mvt
 
-    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    e = _t(spark, sf_dir, "events", wide=True).filter(F.col("event_id") % 5 == 0)
     eid = F.col("event_id")
     pts = e.select(
         ((eid % 320) - 160 + (eid % 7) / F.lit(10.0)).alias("lon"),
@@ -1709,7 +1750,7 @@ def cdc_envelope_roundtrip(spark, sf_dir):
         to_debezium,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", wide=True)
     eid = F.col("event_id")
     m = F.abs(eid) % 10
     is_del, is_ren, is_ins = m == 0, m == 1, m == 2
