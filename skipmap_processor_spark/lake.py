@@ -248,6 +248,9 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # resolved-scan (file listing + schema) cache, keyed by exact
+        # path list — see _read_files; never holds row data
+        self._scan_cache: dict[tuple, DataFrame] = {}
 
     # ------------------------------------------------------------- lifecycle
 
@@ -757,7 +760,22 @@ class LakeTable:
                     read_paths.append(d)
                 else:
                     read_paths.extend(fs)
-            df = self.spark.read.parquet(*read_paths)
+            # Listing/plan cache: resolving a path set costs Spark a
+            # fresh file-index (a 1024-bucket full read pays 2-3 s of
+            # driver listing per call, and a refresh cycle resolves the
+            # same snapshot several times). Data files are immutable and
+            # uuid-named once a manifest references them, so a resolved
+            # scan keyed by the EXACT path list can never go stale — any
+            # commit changes the list and misses. This caches the file
+            # listing and schema resolution only; every action still
+            # scans the parquet bytes from disk.
+            ckey = (sv, tuple(read_paths))
+            df = self._scan_cache.get(ckey)
+            if df is None:
+                df = self.spark.read.parquet(*read_paths)
+                if len(self._scan_cache) >= 16:
+                    self._scan_cache.pop(next(iter(self._scan_cache)))
+                self._scan_cache[ckey] = df
             df = self._rebind_by_id(df, old_cols, cur_by_id, cur_cols)
             out = df if out is None else out.unionByName(df)
         if all_local and out is not None:

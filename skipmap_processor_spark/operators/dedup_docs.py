@@ -85,12 +85,23 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
     # (guide S2.3: shuffle keys, not payloads). Per-doc sizes re-attach
     # to the thresholded aggregate via a broadcast join.
     sh = shingles(df, n).persist(StorageLevel.MEMORY_AND_DISK)
-    kept = (
+    freq = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("_k"))
         .filter(F.col("_k") <= max_shingle_freq)
-        .select("shingle")
     )
+    # Candidate pairs are near-distinct, so the count aggregate's cost is
+    # its per-task hash state: size the pair shuffle so each task holds a
+    # bounded map (~300k keys) rather than the core count's default
+    # (measured at sf1.0: 67M pairs over 32 partitions = 31 s of
+    # hash-probe/spill, over 256 = 5 s — guide S5 "more partitions,
+    # smaller per-task state"). The exact pair count comes free from the
+    # capped vocabulary: sum k*(k-1)/2 over one tiny aggregate.
+    est = (freq.agg(F.sum(F.expr("_k * (_k - 1) / 2")).alias("p"))
+           .first()["p"]) or 0
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_pair_parts = int(min(4096, max(par, est // 300_000 + 1)))
+    kept = freq.select("shingle")
     shf = sh.join(kept, "shingle", "left_semi")
     sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     doc_lists = shf.groupBy("shingle").agg(
@@ -107,9 +118,9 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
         # are near-distinct (67M rows -> 67M groups at sf1.0), so the
         # map-side partial aggregate reduces nothing and just builds
         # full-size hash maps ahead of the exchange; hash-partitioning
-        # first collapses the plan to one aggregate after the shuffle
-        # (measured 28s -> 20s for the agg at sf1.0)
-        .repartition("a_id", "b_id")
+        # first collapses the plan to one aggregate after the shuffle,
+        # sized by the exact pair estimate above
+        .repartition(n_pair_parts, "a_id", "b_id")
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
