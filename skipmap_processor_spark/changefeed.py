@@ -216,6 +216,21 @@ def table_changes(lake: LakeTable, from_version: int,
 
     if to_version == from_version:
         return _empty()
+    # Per-range feed memo: several consumers maintained off one table
+    # (the IncrementalView families, FeedFollower) extract the identical
+    # net-change frame for the identical immutable version range within
+    # one maintenance cycle; the first extraction pays the full candidate
+    # read + pre/post folds, later ones reuse its checkpointed frames.
+    # Sound for the same reason the scan cache is: both endpoint
+    # snapshots are immutable once committed, so (from, to) fully
+    # determines the feed.
+    fkey = (from_version, to_version)
+    cache: dict = getattr(lake, "_feed_cache", None) or {}
+    if not hasattr(lake, "_feed_cache"):
+        lake._feed_cache = cache
+    hit = cache.get(fkey)
+    if hit is not None:
+        return hit
     cand = _added_entries(lake, from_version, to_version)
     if not cand:
         return _empty()
@@ -330,11 +345,15 @@ def table_changes(lake: LakeTable, from_version: int,
         F.when(upd, _struct("pre", "update_preimage")),
         F.when(upd, _struct("post", "update_postimage")),
     )
-    return (
+    feed = (
         j.select(F.explode(rows).alias("_c"))
         .filter(F.col("_c").isNotNull())
         .select("_c.*")
     )
+    if len(cache) >= 4:
+        cache.pop(next(iter(cache)))
+    cache[fkey] = feed
+    return feed
 
 
 class StaleDownstream(Exception):
