@@ -149,6 +149,54 @@ def encode_tile(layers: dict[str, list[dict]],
                     for n, f in layers.items())
 
 
+def _encode_point_feats_np(px, py):
+    """Vectorized feature messages for prop-less point features —
+    byte-identical to the per-feature loop in :func:`encode_layer`
+    (asserted in tests), built as one numpy scatter instead of ~10 Python
+    object constructions per feature (guide S4.2: batch work in native
+    code). Returns None when any coordinate needs a >2-byte varint (or is
+    negative), signalling the caller to take the general loop."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    if px.size == 0:
+        return b""
+    if (px.min() < 0 or py.min() < 0
+            or px.max() >= 1 << 13 or py.max() >= 1 << 13):
+        return None
+    zx, zy = px << 1, py << 1  # zigzag of non-negative ints
+    wx = np.where(zx >= 128, 2, 1)
+    wy = np.where(zy >= 128, 2, 1)
+    # feature msg: [0x12, body_len] body; body = [0x18 0x01] type
+    #   + [0x12 0x00] empty tags + [0x22, geom_len] geom;
+    # geom = [0x09] MoveTo(1) + varint(zx) + varint(zy)
+    geom_len = 1 + wx + wy
+    body_len = 6 + geom_len
+    feat_len = 2 + body_len
+    base = np.concatenate([[0], np.cumsum(feat_len)[:-1]])
+    out = np.empty(int(feat_len.sum()), dtype=np.uint8)
+    out[base] = 0x12
+    out[base + 1] = body_len
+    out[base + 2] = 0x18
+    out[base + 3] = 0x01
+    out[base + 4] = 0x12
+    out[base + 5] = 0x00
+    out[base + 6] = 0x22
+    out[base + 7] = geom_len
+    out[base + 8] = 0x09
+    one, two = wx == 1, wx == 2
+    out[base[one] + 9] = zx[one]
+    out[base[two] + 9] = (zx[two] & 0x7F) | 0x80
+    out[base[two] + 10] = zx[two] >> 7
+    ybase = base + 9 + wx
+    one, two = wy == 1, wy == 2
+    out[ybase[one]] = zy[one]
+    out[ybase[two]] = (zy[two] & 0x7F) | 0x80
+    out[ybase[two] + 1] = zy[two] >> 7
+    return out.tobytes()
+
+
 def decode_tile(buf: bytes) -> dict[str, list[dict]]:
     """Round-trip decoder (tests): tile bytes -> {layer: [feature...]}."""
     layers: dict[str, list[dict]] = {}
@@ -310,18 +358,31 @@ def write_point_tiles(df: DataFrame, zoom: int, layer: str = "features",
         # deterministic feature order -> byte-stable tiles (incremental
         # re-encodes must reproduce a full build exactly)
         pdf = pdf.sort_values(["px", "py", *props], kind="stable")
-        feats = [
-            {
-                "geom_type": 1,
-                "coords": [(int(r.px), int(r.py))],
-                "props": {c: getattr(r, c) for c in props},
-            }
-            for r in pdf.itertuples()
-        ]
-        blob = encode_tile({layer: feats}, extent)
+        blob = None
+        if not props:
+            # prop-less points: vectorized feature assembly, byte-equal
+            # to the loop below (None -> coords need the general path)
+            feats_np = _encode_point_feats_np(
+                pdf["px"].to_numpy(), pdf["py"].to_numpy())
+            if feats_np is not None:
+                lyr = (_field(15, 0) + _varint(MVT_VERSION)
+                       + _len_field(1, layer.encode("utf-8"))
+                       + feats_np
+                       + _field(5, 0) + _varint(extent))
+                blob = _len_field(3, lyr)
+        if blob is None:
+            feats = [
+                {
+                    "geom_type": 1,
+                    "coords": [(int(r.px), int(r.py))],
+                    "props": {c: getattr(r, c) for c in props},
+                }
+                for r in pdf.itertuples()
+            ]
+            blob = encode_tile({layer: feats}, extent)
         return pd.DataFrame(
             [{"z": zoom, "x": x, "y": y, "tile": blob,
-              "n_features": len(feats)}]
+              "n_features": len(pdf)}]
         )
 
     return staged.groupBy("x", "y").applyInPandas(

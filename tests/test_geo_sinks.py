@@ -192,3 +192,36 @@ def test_write_pnts_tiles_and_tileset(spark):
     w, s, e, n = child["boundingVolume"]["region"][:4]
     assert w <= e and s <= n
     json.dumps(ts)  # serializable
+
+
+def test_mvt_vectorized_point_encode_byte_equal():
+    """The numpy fast path for prop-less point features must be
+    byte-identical to the per-feature loop encoder, across varint width
+    boundaries (127/128) and the extent corners; out-of-range coords must
+    decline (None) so the caller falls back to the loop."""
+    import random
+
+    random.seed(7)
+    cases = [(0, 0), (63, 63), (64, 63), (127, 128), (128, 127),
+             (4095, 4095), (1, 4095)]
+    cases += [(random.randrange(4096), random.randrange(4096))
+              for _ in range(500)]
+    cases.sort()
+    px = [c[0] for c in cases]
+    py = [c[1] for c in cases]
+    fast = mvt._encode_point_feats_np(px, py)
+    feats = [{"geom_type": 1, "coords": [(a, b)], "props": {}}
+             for a, b in cases]
+    loop_layer = mvt.encode_layer("features", feats)
+    fast_layer = (mvt._field(15, 0) + mvt._varint(mvt.MVT_VERSION)
+                  + mvt._len_field(1, b"features")
+                  + fast
+                  + mvt._field(5, 0) + mvt._varint(mvt.DEFAULT_EXTENT))
+    assert fast_layer == loop_layer
+    # full-tile equality through the public entry points
+    assert (mvt._len_field(3, fast_layer)
+            == mvt.encode_tile({"features": feats}))
+    # decline out-of-range rather than mis-encode
+    assert mvt._encode_point_feats_np([1 << 13], [0]) is None
+    assert mvt._encode_point_feats_np([-1], [0]) is None
+    assert mvt._encode_point_feats_np([], []) == b""
