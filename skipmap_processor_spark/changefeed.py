@@ -244,17 +244,36 @@ def table_changes(lake: LakeTable, from_version: int,
     cand_df = lake._read_files(mani_to, cand)
     if not getattr(cand_df, "_skipmap_local_relation", False):
         cand_df = cand_df.localCheckpoint(eager=True)
-    keys = cand_df.select(*KEY_COLS).distinct()
-    # one driver-side collect over the (checkpointed, delta-sized)
-    # candidate keys covers both prunes: bucket ids (bounded by
-    # num_buckets) and — when the touched-repo set is small, the
-    # steady-state trickle case — the distinct repos, so the historical
-    # base scan also skips files whose footer repo range holds none of
-    # the changed repos (same pattern as LakeTable.lookup)
-    pairs = (keys.select(bucket_expr(nb).alias("_b"), "repo")
-             .distinct().collect())
-    buckets = sorted({r["_b"] for r in pairs})
-    cand_repos = sorted({r["repo"] for r in pairs})
+    # one pass over the (checkpointed, delta-sized) candidate keys covers
+    # both prunes: bucket ids (bounded by num_buckets) and — when the
+    # touched-repo set is small, the steady-state trickle case — the
+    # distinct repos, so the historical base scan also skips files whose
+    # footer repo range holds none of the changed repos (same pattern as
+    # LakeTable.lookup). When the candidates arrived as a driver-local
+    # Arrow relation (the tiny-file catch-up shape) the key set is
+    # already on the driver: derive both prunes there with the verified
+    # xxhash64 twin instead of launching a Spark job for them.
+    keys = None
+    ktbl = getattr(cand_df, "_skipmap_key_table", None)
+    if ktbl is not None and ktbl.num_rows <= 200_000:
+        kd = ktbl.group_by(KEY_COLS).aggregate([])
+        reps = kd.column(KEY_COLS[0]).to_pylist()
+        pths = kd.column(KEY_COLS[1]).to_pylist()
+        # pure-python hashing: ~5 us/key — cap where it stops being free
+        if len(reps) <= 20_000 and all(
+                isinstance(v, str) for v in reps + pths):
+            from skipmap_processor_spark._xxh64 import bucket_of
+
+            buckets = sorted({bucket_of(r, p, nb)
+                              for r, p in zip(reps, pths)})
+            cand_repos = sorted(set(reps))
+            keys = lake.spark.createDataFrame(kd).select(*KEY_COLS)
+    if keys is None:
+        keys = cand_df.select(*KEY_COLS).distinct()
+        pairs = (keys.select(bucket_expr(nb).alias("_b"), "repo")
+                 .distinct().collect())
+        buckets = sorted({r["_b"] for r in pairs})
+        cand_repos = sorted({r["repo"] for r in pairs})
     if len(cand_repos) > _REPO_PRUNE_CAP:
         cand_repos = None
     # ONE historical scan builds BOTH images: files_at_to is files_at_from
@@ -288,11 +307,17 @@ def table_changes(lake: LakeTable, from_version: int,
         # soundness argument as the range prune; blooms have no false
         # negatives and summary-less files are always kept.
         base_files, _ = _prune_by_members(base_files, "repo", cand_repos)
-    base = (
-        lake._read_files(mani_to, base_files)
-        .join(keys, KEY_COLS, "inner")
-        .localCheckpoint(eager=True)
-    )
+    if base_files:
+        base = (
+            lake._read_files(mani_to, base_files)
+            .join(keys, KEY_COLS, "inner")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # every historical file pruned away (e.g. the changed repos are
+        # brand new): the pre image is empty by construction — skip the
+        # join and the eager checkpoint job on an empty frame
+        base = lake._read_files(mani_to, [])
     pre = _lww_fold(base)
     post = _lww_fold(base.unionByName(cand_df))
 

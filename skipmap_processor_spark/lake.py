@@ -703,6 +703,7 @@ class LakeTable:
         if not files:
             return self.spark.createDataFrame([], struct)
         out = None
+        key_tables: list = []  # pa.Table of KEY_COLS per local sv group
         by_sv: dict[int, list[str]] = {}
         for fe in files:
             by_sv.setdefault(int(fe["schema_version"]), []).append(
@@ -731,11 +732,20 @@ class LakeTable:
         for sv, paths in sorted(by_sv.items()):
             old_cols = mani["schemas"][str(sv)]
             if use_arrow:
-                df = self._read_files_arrow(paths, old_cols)
-                if df is not None:
+                got = self._read_files_arrow(paths, old_cols)
+                if got is not None:
+                    df, raw_tbl = got
                     df = self._rebind_by_id(df, old_cols, cur_by_id,
                                             cur_cols)
                     out = df if out is None else out.unionByName(df)
+                    # id-bound old name of each current KEY col in this
+                    # schema version (None if absent — then no key table)
+                    old_of = {cur_by_id[oc["id"]]["name"]: oc["name"]
+                              for oc in old_cols if oc["id"] in cur_by_id}
+                    if all(k in old_of for k in KEY_COLS):
+                        key_tables.append(
+                            raw_tbl.select([old_of[k] for k in KEY_COLS])
+                            .rename_columns(list(KEY_COLS)))
                     continue
             all_local = False
             # Collapse complete leaf directories to one path each: listing
@@ -813,6 +823,16 @@ class LakeTable:
             # avoid re-running the scan per action: a driver-materialized
             # local relation has no scan to re-run
             out._skipmap_local_relation = True
+            if key_tables and len(key_tables) == len(by_sv):
+                # the key columns of every row, already on the driver —
+                # lets metadata-scale consumers (changefeed prune) derive
+                # key sets without launching a Spark job
+                import pyarrow as pa
+
+                out._skipmap_key_table = (
+                    key_tables[0] if len(key_tables) == 1
+                    else pa.concat_tables(key_tables,
+                                          promote_options="default"))
         return out
 
     def _rebind_by_id(self, df: DataFrame, old_cols: list[dict],
@@ -841,34 +861,46 @@ class LakeTable:
         return df.select(*selects).select(*[c["name"] for c in cur_cols])
 
     def _read_files_arrow(self, paths: list[str],
-                          old_cols: list[dict]) -> DataFrame | None:
-        """Driver-side threaded pyarrow read of a broadcast-scale file
-        set -> one Spark DataFrame, or None to fall back to the scan.
-        Columns are selected and cast to the declared schema-version
-        types so the frame is indistinguishable from the scan path."""
+                          old_cols: list[dict]) -> tuple | None:
+        """Driver-side pyarrow read of a broadcast-scale file set ->
+        ``(DataFrame, raw pyarrow.Table)``, or None to fall back to the
+        scan. Columns are selected and cast to the declared
+        schema-version types so the frame is indistinguishable from the
+        scan path; the raw table (old column names) is returned so
+        callers can derive metadata (key sets) without a Spark job."""
         from concurrent.futures import ThreadPoolExecutor
 
         try:
-            import pyarrow.parquet as pq
-
             names = [oc["name"] for oc in old_cols]
-            with ThreadPoolExecutor(max_workers=16) as pool:
-                tables = list(pool.map(
-                    lambda p: pq.read_table(p, columns=names), paths))
-            import pyarrow as pa
+            try:
+                # pyarrow.dataset fans the file reads out on Arrow's C++
+                # thread pool with no per-file Python call — measured 2x
+                # faster than a 16-thread pool of pq.read_table for 1000
+                # one-row files (0.25 s vs 0.55 s)
+                import pyarrow.dataset as pads
 
-            # combine: a 1000-file concat is 1000 tiny chunks per column,
+                tbl = pads.dataset(paths, format="parquet").to_table(
+                    columns=names)
+            except Exception:
+                import pyarrow.parquet as pq
+
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    tables = list(pool.map(
+                        lambda p: pq.read_table(p, columns=names), paths))
+                import pyarrow as pa
+
+                tbl = pa.concat_tables(tables, promote_options="default")
+            # combine: a 1000-file read is 1000 tiny chunks per column,
             # and per-chunk conversion overhead dominates the transfer
             # (measured 5.1 s -> 1.6 s for 1000 one-row files)
-            tbl = pa.concat_tables(
-                tables, promote_options="default").combine_chunks()
+            tbl = tbl.combine_chunks()
             df = self.spark.createDataFrame(tbl)
         except Exception:
             return None  # unreadable/exotic types: distributed scan path
         return df.select(*[
             F.col(oc["name"]).cast(oc["type"]).alias(oc["name"])
             for oc in old_cols
-        ])
+        ]), tbl
 
     def read(
         self,
