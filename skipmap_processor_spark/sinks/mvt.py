@@ -8,8 +8,8 @@ units of work, so the engine (a) assigns every feature to its
 (z, x, y) tile with pure JVM web-mercator math, (b) shuffles once on the
 tile key, and (c) encodes each tile group into a spec-conformant MVT
 (vector_tile.proto, protobuf wire format written byte-by-byte — varint +
-length-delimited fields, zigzag command encoding) inside one
-``applyInPandas``. Output is a DataFrame (z, x, y, tile bytes) the caller
+length-delimited fields, zigzag command encoding) batched per shuffle
+partition in one ``mapInPandas`` call. Output is a DataFrame (z, x, y, tile bytes) the caller
 writes to parquet / object storage; no driver bottleneck, no external
 binary.
 
@@ -339,8 +339,8 @@ def write_point_tiles(df: DataFrame, zoom: int, layer: str = "features",
                       extent: int = DEFAULT_EXTENT) -> DataFrame:
     """Point features -> one MVT blob per (z, x, y) tile.
 
-    One shuffle (groupBy tile key), per-tile encode in applyInPandas;
-    returns DataFrame(z int, x int, y int, tile binary, n_features long).
+    One shuffle (repartition on the tile key), per-tile encode batched
+    per partition in mapInPandas; returns DataFrame(z int, x int, y int, tile binary, n_features long).
     Latitudes beyond web-mercator's +/-85.05 deg are dropped, per spec.
     """
     props = prop_cols or []
@@ -353,8 +353,7 @@ def write_point_tiles(df: DataFrame, zoom: int, layer: str = "features",
                 py.alias("py"), *props)
     )
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        x, y = int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+    def _encode_tile_group(x: int, y: int, pdf: pd.DataFrame) -> dict:
         # deterministic feature order -> byte-stable tiles (incremental
         # re-encodes must reproduce a full build exactly)
         pdf = pdf.sort_values(["px", "py", *props], kind="stable")
@@ -380,13 +379,29 @@ def write_point_tiles(df: DataFrame, zoom: int, layer: str = "features",
                 for r in pdf.itertuples()
             ]
             blob = encode_tile({layer: feats}, extent)
-        return pd.DataFrame(
-            [{"z": zoom, "x": x, "y": y, "tile": blob,
-              "n_features": len(pdf)}]
-        )
+        return {"z": zoom, "x": x, "y": y, "tile": blob,
+                "n_features": len(pdf)}
 
-    return staged.groupBy("x", "y").applyInPandas(
-        _encode, "z int, x int, y int, tile binary, n_features long")
+    # partition-level encode: groupBy().applyInPandas pays one Python
+    # call + Arrow round-trip PER TILE (thousands of one-tile frames);
+    # repartition on the tile key keeps the tile-locality guarantee and
+    # batches every tile of a partition through one call. Per-tile bytes
+    # are unchanged — the group encoder above is the same code.
+    def _encode_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = (pd.concat(pdfs, ignore_index=True)
+               if len(pdfs) > 1 else pdfs[0])
+        rows = [
+            _encode_tile_group(int(x), int(y), g)
+            for (x, y), g in pdf.groupby(["x", "y"], sort=False,
+                                         dropna=False)
+        ]
+        yield pd.DataFrame(rows)
+
+    return staged.repartition("x", "y").mapInPandas(
+        _encode_partition, "z int, x int, y int, tile binary, n_features long")
 
 
 # --- incremental re-tiling ---------------------------------------------------
