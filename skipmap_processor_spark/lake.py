@@ -952,42 +952,91 @@ class LakeTable:
             # wanted paths cannot hold ANY version of a wanted key — the
             # LWW fold stays complete per key
             files, _ = _prune_by_stats(files, "path", sorted(set(paths)))
-        df = self._read_files(mani, files)
-        if repos is not None:
-            df = df.filter(F.col("repo").isin([str(r) for r in repos]))
-        if paths is not None:
-            # key-determined filter below the LWW window; Catalyst pushes it
-            # to the parquet scan, where the write-side key sort makes
-            # row-group min/max stats tight -> row-group pruning inside the
-            # files that survive the file-level prune
-            df = df.filter(F.col("path").isin([str(p) for p in paths]))
-        if buckets is not None:
-            nb = int(mani["num_buckets"])
-            if any(int(fe["nb"]) != nb for fe in files):
-                # a coarser-spec file covers several current buckets — its
-                # extra rows must not leak into a bucket-scoped read. The
-                # filter is key-determined, so applying it below the LWW
-                # window is semantics-preserving (one hash per row, no
-                # shuffle).
+        def _scoped(fsub: list[dict]) -> DataFrame:
+            df = self._read_files(mani, fsub)
+            if repos is not None:
+                df = df.filter(F.col("repo").isin([str(r) for r in repos]))
+            if paths is not None:
+                # key-determined filter below the LWW window; Catalyst
+                # pushes it to the parquet scan, where the write-side key
+                # sort makes row-group min/max stats tight -> row-group
+                # pruning inside the files that survive the file-level
+                # prune
                 df = df.filter(
-                    bucket_expr(nb).isin([int(b) for b in buckets]))
-        if mani["properties"].get("has_deltas"):
-            # MOR read path: LWW window resolves multi-version keys.
-            # _epoch desc tie-break: verbatim duplicate deliveries landed in
-            # two epochs are identical rows — pick is value-irrelevant but
-            # made deterministic for engine-column reads.
-            from pyspark.sql import Window
+                    F.col("path").isin([str(p) for p in paths]))
+            if buckets is not None:
+                nb = int(mani["num_buckets"])
+                if any(int(fe["nb"]) != nb for fe in fsub):
+                    # a coarser-spec file covers several current buckets —
+                    # its extra rows must not leak into a bucket-scoped
+                    # read. The filter is key-determined, so applying it
+                    # below the LWW window is semantics-preserving (one
+                    # hash per row, no shuffle).
+                    df = df.filter(
+                        bucket_expr(nb).isin([int(b) for b in buckets]))
+            return df
 
-            w = Window.partitionBy(*KEY_COLS).orderBy(
-                F.col("commit").desc(),
-                F.col("event_seq").desc(),
-                F.col("_epoch").desc(),
-            )
-            df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+        # MOR read path: the LWW window resolves multi-version keys — but
+        # only a bucket holding MORE THAN ONE file can hold two versions
+        # of a key (every writer emits at most one row per key per file:
+        # merge deltas and CoW/compact outputs are key-deduped). Under a
+        # single bucket spec the fold is therefore scoped to multi-file
+        # buckets; single-file buckets stream through fold-free — after a
+        # trickle delta touching a handful of buckets, the other ~100% of
+        # the table skips the key-window shuffle entirely. Mixed specs
+        # (mid-rescale) keep the table-wide fold: a key's old-spec and
+        # new-spec rows live under different bucket numbers, so per-spec
+        # counts cannot prove a bucket single-versioned (_has_multi's
+        # argument).
+        fold_files = files
+        plain_files: list[dict] = []
+        if mani["properties"].get("has_deltas"):
+            if len({int(fe["nb"]) for fe in files}) <= 1:
+                counts: dict[int, int] = {}
+                for fe in files:
+                    b = int(fe["bucket"])
+                    counts[b] = counts.get(b, 0) + 1
+                fold_files = [fe for fe in files
+                              if counts[int(fe["bucket"])] > 1]
+                plain_files = [fe for fe in files
+                               if counts[int(fe["bucket"])] == 1]
+                # Listing economics gate: splitting forfeits the
+                # wholly-included "<commit>/_bucket=*" glob collapse, so
+                # each branch lists its files as EXPLICIT roots at
+                # ~2-5 ms of driver file-index work apiece. Past ~128
+                # roots that listing overtakes the saved key-window
+                # shuffle (measured on the 4M-row/1024-bucket bench
+                # lake: split rebuild 11.8 s vs 5.2 s folded, all of it
+                # driver listing of 843 single-file bucket dirs). Keep
+                # the table-wide fold for wide layouts; the split pays
+                # off exactly in the modest-file-count shapes where
+                # explicit roots are cheap.
+                if len(files) > 128:
+                    fold_files, plain_files = files, []
+            if fold_files:
+                # _epoch desc tie-break: verbatim duplicate deliveries
+                # landed in two epochs are identical rows — pick is
+                # value-irrelevant but made deterministic for
+                # engine-column reads.
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*KEY_COLS).orderBy(
+                    F.col("commit").desc(),
+                    F.col("event_seq").desc(),
+                    F.col("_epoch").desc(),
+                )
+                df = (
+                    _scoped(fold_files)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                if plain_files:
+                    df = df.unionByName(_scoped(plain_files))
+            else:
+                df = _scoped(plain_files if plain_files else files)
+        else:
+            df = _scoped(files)
         if not include_deleted:
             df = df.filter(~F.col("is_deleted"))
         if not with_engine_cols:
