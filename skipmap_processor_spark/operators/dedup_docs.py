@@ -106,24 +106,53 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
     sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     doc_lists = shf.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    pairs = (
-        doc_lists.select(F.explode(F.expr(
-            # all i<j pairs of the sorted doc list, emitted map-side
-            "flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds)), "
-            "y -> named_struct('a_id', x, 'b_id', y))))"
-        )).alias("p"))
-        .select("p.a_id", "p.b_id")
-        # repartition on the group key BEFORE aggregating: candidate pairs
-        # are near-distinct (67M rows -> 67M groups at sf1.0), so the
-        # map-side partial aggregate reduces nothing and just builds
-        # full-size hash maps ahead of the exchange; hash-partitioning
-        # first collapses the plan to one aggregate after the shuffle,
-        # sized by the exact pair estimate above
-        .repartition(n_pair_parts, "a_id", "b_id")
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # Pair packing: when every doc id fits 31 bits, a candidate pair
+    # travels as ONE non-negative bigint (a << 32 | b) instead of two —
+    # half the shuffle bytes and a single-long hash key for the count
+    # aggregate (the per-pair cost IS the aggregate's hash state at
+    # scale). The id bound is checked exactly; wider ids keep the
+    # two-column shape.
+    id_bound = df.agg(
+        F.max(F.col("doc_id")).alias("mx"),
+        F.min(F.col("doc_id")).alias("mn")).first()
+    packable = (id_bound["mx"] is not None
+                and 0 <= id_bound["mn"]
+                and id_bound["mx"] < (1 << 31))
+    if packable:
+        pairs = (
+            doc_lists.select(F.explode(F.expr(
+                # all i<j pairs of the sorted doc list, emitted map-side
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> x * 4294967296 + y)))"
+            )).alias("pk"))
+            # repartition on the group key BEFORE aggregating: candidate
+            # pairs are near-distinct (67M rows -> 67M groups at sf1.0),
+            # so the map-side partial aggregate reduces nothing and just
+            # builds full-size hash maps ahead of the exchange;
+            # hash-partitioning first collapses the plan to one aggregate
+            # after the shuffle, sized by the exact pair estimate above
+            .repartition(n_pair_parts, "pk")
+            .groupBy("pk")
+            .agg(F.count("*").alias("n_common"))
+            .select(
+                F.shiftright("pk", 32).alias("a_id"),
+                (F.col("pk") % F.lit(1 << 32)).alias("b_id"),
+                "n_common",
+            )
+        )
+    else:
+        pairs = (
+            doc_lists.select(F.explode(F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> named_struct('a_id', x, 'b_id', y))))"
+            )).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .repartition(n_pair_parts, "a_id", "b_id")
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("n_common"))
+        )
     out = (
         pairs
         .join(F.broadcast(sizes.select(F.col("doc_id").alias("a_id"),
