@@ -114,9 +114,11 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
     # two-column shape.
     id_bound = df.agg(
         F.max(F.col("doc_id")).alias("mx"),
-        F.min(F.col("doc_id")).alias("mn")).first()
+        F.min(F.col("doc_id")).alias("mn"),
+        (F.count(F.lit(1)) - F.count("doc_id")).alias("nulls")).first()
     packable = (id_bound["mx"] is not None
-                and 0 <= id_bound["mn"]
+                and id_bound["nulls"] == 0  # a null id must not fold
+                and 0 <= id_bound["mn"]     # distinct null-pairs together
                 and id_bound["mx"] < (1 << 31))
     if packable:
         pairs = (
