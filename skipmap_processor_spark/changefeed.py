@@ -307,17 +307,29 @@ def table_changes(lake: LakeTable, from_version: int,
         # soundness argument as the range prune; blooms have no false
         # negatives and summary-less files are always kept.
         base_files, _ = _prune_by_members(base_files, "repo", cand_repos)
-    if base_files:
-        base = (
-            lake._read_files(mani_to, base_files)
-            .join(keys, KEY_COLS, "inner")
-            .localCheckpoint(eager=True)
-        )
-    else:
-        # every historical file pruned away (e.g. the changed repos are
-        # brand new): the pre image is empty by construction — skip the
-        # join and the eager checkpoint job on an empty frame
-        base = lake._read_files(mani_to, [])
+    if not base_files:
+        # Every historical file pruned away (e.g. the changed repos are
+        # brand new): the pre image is empty by construction, so the
+        # full-outer classification degenerates exactly — every pre_*
+        # column would be null, pre_alive false, and only the insert
+        # branch of the change array can fire, carrying the post row's
+        # payload and ord. Emit that directly: the join/explode/second
+        # window drop out of the plan (measured cold at the 1000-commit
+        # catch-up: 7.1 s -> 4.1 s, all of it first-use codegen of the
+        # operators removed).
+        post = _lww_fold(cand_df)
+        feed = post.filter(~F.col("is_deleted")).select(
+            *KEY_COLS, *payload, "commit", "event_seq",
+            F.lit("insert").alias("_change_type"))
+        if len(cache) >= 4:
+            cache.pop(next(iter(cache)))
+        cache[fkey] = feed
+        return feed
+    base = (
+        lake._read_files(mani_to, base_files)
+        .join(keys, KEY_COLS, "inner")
+        .localCheckpoint(eager=True)
+    )
     pre = _lww_fold(base)
     post = _lww_fold(base.unionByName(cand_df))
 
