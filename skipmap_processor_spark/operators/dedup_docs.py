@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+# pair volume below which jaccard_pairs skips the packed-pair path (and
+# its one-job id-bound check) — packing only pays at scale; tests patch
+# this to 0 to pin packed == struct equivalence on small corpora
+_PACK_EST_MIN = 5_000_000
+
 # --- shared shingling --------------------------------------------------------
 
 
@@ -112,14 +117,20 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.2,
     # aggregate (the per-pair cost IS the aggregate's hash state at
     # scale). The id bound is checked exactly; wider ids keep the
     # two-column shape.
-    id_bound = df.agg(
-        F.max(F.col("doc_id")).alias("mx"),
-        F.min(F.col("doc_id")).alias("mn"),
-        (F.count(F.lit(1)) - F.count("doc_id")).alias("nulls")).first()
-    packable = (id_bound["mx"] is not None
-                and id_bound["nulls"] == 0  # a null id must not fold
-                and 0 <= id_bound["mn"]     # distinct null-pairs together
-                and id_bound["mx"] < (1 << 31))
+    packable = False
+    if est >= _PACK_EST_MIN:
+        # the id-bound check is one tiny aggregate — only worth paying
+        # when the pair volume is large enough for packing to matter
+        # (the exact `est` above decides, so the gate is scale-adaptive,
+        # not a core-count tune)
+        id_bound = df.agg(
+            F.max(F.col("doc_id")).alias("mx"),
+            F.min(F.col("doc_id")).alias("mn"),
+            (F.count(F.lit(1)) - F.count("doc_id")).alias("nulls")).first()
+        packable = (id_bound["mx"] is not None
+                    and id_bound["nulls"] == 0  # a null id must not fold
+                    and 0 <= id_bound["mn"]     # distinct null-pairs with
+                    and id_bound["mx"] < (1 << 31))
     if packable:
         pairs = (
             doc_lists.select(F.explode(F.expr(

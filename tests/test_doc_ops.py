@@ -71,6 +71,22 @@ def test_jaccard_pairs_vs_bruteforce(spark, docs_df):
     assert (0, 1) in got  # near dups
 
 
+def test_jaccard_packed_pairs_match_struct_path(spark, docs_df,
+                                                monkeypatch):
+    """The bigint-packed pair path (normally gated to >=5M estimated
+    pairs) must produce exactly the struct path's output."""
+    want = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup_docs.jaccard_pairs(docs_df, threshold=0.2).collect()
+    }
+    monkeypatch.setattr(dedup_docs, "_PACK_EST_MIN", 0)
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup_docs.jaccard_pairs(docs_df, threshold=0.2).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
     pairs = {
         (r["a_id"], r["b_id"])
