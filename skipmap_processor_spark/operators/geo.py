@@ -289,18 +289,6 @@ def dissolve_boxes(boxes: DataFrame, cell_size: int = 20,
         ))),
     )
     a, b = cells.alias("a"), cells.alias("b")
-    # reference-point dedup: two boxes overlapping k shared cells would
-    # emit k copies of the pair; their overlap region's min corner
-    # (max(x1), max(y1)) lies in exactly ONE cell both boxes touch, so
-    # keeping the pair only when joined via that cell makes emissions
-    # unique by construction — the former `.distinct()` exchange over
-    # the edge multiset disappears (same floor-division cell math as
-    # the replication above, so the filter is exact).
-    ref_cell = (
-        F.floor(F.greatest(F.col("a.x1"), F.col("b.x1")) / cs)
-        * F.lit(1_000_003)
-        + F.floor(F.greatest(F.col("a.y1"), F.col("b.y1")) / cs)
-    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -309,9 +297,9 @@ def dissolve_boxes(boxes: DataFrame, cell_size: int = 20,
             & (F.col("a.y1") <= F.col("b.y2"))
             & (F.col("b.y1") <= F.col("a.y2"))
         )
-        .filter(F.col("cell") == ref_cell)
         .select(F.col(f"a.{id_col}").alias("a"),
                 F.col(f"b.{id_col}").alias("b"))
+        .distinct()
     )
     comps = _components_long(
         pairs, boxes.select(F.col(id_col).alias("id"))
